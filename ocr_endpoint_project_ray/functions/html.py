@@ -1,0 +1,114 @@
+"""HTML boilerplate stripping — text-density / link-density block heuristics.
+
+A from-scratch jusText/Readability-style main-content extractor (the
+distributed generalization of the reference's layout heuristics,
+``ocr_common.py:152-170``): parse the DOM with the stdlib ``html.parser``,
+accumulate text per block-level element, score each block by length and link
+density, drop navigational containers (``nav``/``footer``/``header``/
+``aside``) and link-farm blocks, keep content blocks in document order.
+
+Deterministic and locale-safe (pure unicode string ops, no locale calls) so
+golden comparisons are byte-stable — required by the span-sequence gate.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+#: Elements that open a new text block.
+_BLOCK_TAGS = frozenset(
+    "p div section article main h1 h2 h3 h4 h5 h6 li td th blockquote pre "
+    "ul ol table tr body".split()
+)
+#: Subtrees that are always boilerplate.
+_BOILERPLATE_TAGS = frozenset("nav footer header aside script style noscript form".split())
+
+#: Keep a block when its link density is below this and it has at least
+#: MIN_BLOCK_CHARS characters (jusText-style "good paragraph" thresholds).
+MAX_LINK_DENSITY = 0.33
+MIN_BLOCK_CHARS = 10
+
+
+class _BlockCollector(HTMLParser):
+    """Collects (text, link_chars) per block-level element in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []  # (text, link_char_count)
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append((text, self._link_chars))
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):  # noqa: ANN001
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self._link_depth += 1
+        if tag == "br":
+            self._buf.append(" ")
+
+    def handle_endtag(self, tag):  # noqa: ANN001
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _BOILERPLATE_TAGS and self._boiler_depth > 0:
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+
+    def handle_data(self, data):  # noqa: ANN001
+        if self._boiler_depth > 0:
+            return
+        self._buf.append(data)
+        if self._link_depth > 0:
+            self._link_chars += len(" ".join(data.split()))
+
+    def close(self):  # noqa: ANN201
+        super().close()
+        self._flush()
+
+
+def strip_boilerplate(html: str) -> str:
+    """Extract main content text from an HTML string.
+
+    Returns the newline-joined text of content blocks: blocks outside
+    nav/footer/header/aside subtrees whose link density
+    (linked chars / total chars) is below :data:`MAX_LINK_DENSITY` and whose
+    length is at least :data:`MIN_BLOCK_CHARS`. Falls back to the longest
+    block when nothing qualifies (so short docs degrade gracefully instead of
+    vanishing).
+    """
+    if not html:
+        return ""
+    parser = _BlockCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # Malformed markup is data, not an exception (in-band error
+        # semantics, SURVEY.md §7.4.4): degrade to tag-free text.
+        import re
+
+        return " ".join(re.sub(r"<[^>]+>", " ", html).split())
+    kept = [
+        text
+        for text, link_chars in parser.blocks
+        if len(text) >= MIN_BLOCK_CHARS and (link_chars / len(text)) <= MAX_LINK_DENSITY
+    ]
+    if not kept and parser.blocks:
+        best = max(
+            (t for t, lc in parser.blocks if (lc / len(t)) <= MAX_LINK_DENSITY),
+            key=len,
+            default="",
+        )
+        return best
+    return "\n".join(kept)

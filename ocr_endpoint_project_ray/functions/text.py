@@ -1,0 +1,186 @@
+"""Text analysis primitives — vectorized over Arrow string arrays.
+
+Normalization follows the reference's ``normalize_words``
+(``ocr_common.py:111-115``: lowercase, ``[^\\w\\s]``→space, split); tokenizing,
+quality scoring, language-ID and fingerprinting are the training-data-pipeline
+extensions (SURVEY.md §2 extras). Hot paths use ``pyarrow.compute`` kernels;
+the few per-row ops (hashing) loop only over a batch's Python strings once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Normalization (reference: ocr_common.py:111-115)
+# ---------------------------------------------------------------------------
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def normalize_words(text: str) -> list[str]:
+    """Lowercase, replace punctuation with spaces, split into words."""
+    return _PUNCT_RE.sub(" ", (text or "").lower()).split()
+
+
+def normalize_text_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized: lowercase + punctuation→space + whitespace-collapse."""
+    lowered = pc.utf8_lower(arr)
+    no_punct = pc.replace_substring_regex(lowered, r"[^\w\s]", " ")
+    collapsed = pc.replace_substring_regex(no_punct, r"\s+", " ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols —
+#: the common GPT-2-style pre-split shape (public pattern), no model needed.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def count_tokens_ws(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count per string, vectorized.
+
+    Matches ``len(s.split())`` exactly: count of maximal non-space runs.
+    """
+    trimmed = pc.utf8_trim_whitespace(arr)
+    counts = pc.count_substring_regex(trimmed, r"\S+")
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), counts)
+
+
+def count_tokens_bpe(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish token count per string (regex pre-tokenizer), vectorized."""
+    return pc.count_substring_regex(arr, _BPE_RE.pattern)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / character-class ratios / stopword ratio)
+# ---------------------------------------------------------------------------
+
+
+def quality_features(arr: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """Per-string quality features, all vectorized.
+
+    Ratios use ASCII character classes (``[a-zA-Z]`` etc.) so they are
+    byte-stable across locales and reproducible in ANSI SQL oracles.
+    Empty strings yield 0.0 ratios.
+    """
+    n_chars = pc.utf8_length(arr)
+    denom = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    nf = pc.cast(n_chars, pa.float64())
+
+    def ratio(pattern: str) -> pa.Array:
+        cnt = pc.cast(pc.count_substring_regex(arr, pattern), pa.float64())
+        r = pc.divide(cnt, denom)
+        return pc.if_else(pc.equal(nf, 0.0), pa.scalar(0.0), r)
+
+    return {
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "alpha_ratio": ratio(r"[a-zA-Z]"),
+        "digit_ratio": ratio(r"[0-9]"),
+        "space_ratio": ratio(r" "),
+        "punct_ratio": ratio(r"[.,;:!?]"),
+    }
+
+
+#: Tiny stopword lists for the language-ID heuristic (public common words).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was", "on", "as"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "dans", "pour", "que"},
+    "ar": {"في", "من", "على", "إلى", "عن", "هذا", "هذه", "التي", "الذي", "مع", "كان", "أن"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "en", "por", "que", "con"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "in", "mit", "von", "zu", "den"},
+}
+
+
+def detect_language(text: str) -> str:
+    """Stopword-overlap language ID; 'und' when no evidence.
+
+    Generalizes the reference corpus's fr/en/ar stratification
+    (``ground_truth_database/DATABASE.md``): the engine must tag language at
+    scale instead of reading it from curated metadata.
+    """
+    words = set(normalize_words(text)[:512])
+    if not words:
+        return "und"
+    best, best_hits = "und", 0
+    for lang in sorted(_STOPWORDS):
+        hits = len(words & _STOPWORDS[lang])
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+def detect_language_batch(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    texts = arr.to_pylist()
+    return pa.array([detect_language(t or "") for t in texts], pa.string())
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def md5_hex(text: str) -> str:
+    return hashlib.md5((text or "").encode("utf-8")).hexdigest()
+
+
+def md5_hex_batch(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pa.array([md5_hex(t) for t in arr.to_pylist()], pa.string())
+
+
+_ROLL_BASE = np.uint64(1000003)
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Document fingerprint: XOR of rolling polynomial hashes of
+    ``window``-byte windows (content-defined, shift-tolerant). Returns a
+    signed int64 (stable across platforms; numpy uint64 arithmetic mod 2^64).
+    """
+    data = (text or "").encode("utf-8")
+    if not data:
+        return 0
+    if len(data) <= window:
+        h = np.uint64(0)
+        for b in data:
+            h = h * _ROLL_BASE + np.uint64(b + 1)
+        return int(h.astype(np.int64))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    # powers of base, wrapping mod 2^64 (intentional)
+    pows = np.array(
+        [pow(int(_ROLL_BASE), i, 2**64) for i in range(window)], dtype=np.uint64
+    )
+    n = len(arr) - window + 1
+    # windowed dot product via strided view (vectorized, no per-window loop)
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(arr, window)
+        hashes = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
+    acc = np.bitwise_xor.reduce(hashes[: min(n, 4096)])
+    return int(acc.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Shingles / n-grams (for Jaccard & MinHash dedup)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    words = normalize_words(text)
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)

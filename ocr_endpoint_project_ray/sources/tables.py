@@ -1,0 +1,42 @@
+"""Dataset readers with column pruning, and the Lance/Parquet gate.
+
+At 100 TB, a read that loads all columns for a 2-column transform is wrong —
+every reader here takes ``columns`` and pushes it into the scan.
+
+The north-star input format is Lance (``ray.data.read_lance``); the ``lance``
+package is not in this container, so :func:`read_docs` gates on it and falls
+back to parquet with the identical schema. The pipeline code is
+format-agnostic either way (both yield Arrow blocks).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read one of the benchmark tables with projection pushdown."""
+    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+
+
+def read_docs(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read an interleaved-document corpus: Lance when available (the
+    100 TB target format — streaming column-pruned fragment reads), else
+    Parquet with the same (doc_id, spans) schema."""
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        try:
+            import lance  # noqa: F401
+
+            return ray.data.read_lance(path, columns=columns)
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "lance is not installed in this container; write the corpus "
+                "as parquet (same schema) instead"
+            ) from e
+    return ray.data.read_parquet(path, columns=columns)

@@ -1,0 +1,23 @@
+"""Session-scoped Ray fixture — one Ray session for the whole pytest run."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"
