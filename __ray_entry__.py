@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2 plus
+the training-data extensions); ``oracle_sql()`` gives the DuckDB twin for the
+SQL-expressible ones (the rest get rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,42 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Importing the package sets the hash-shuffle strategy before any Dataset is
+# created (required for keyed repartition — see ocr_endpoint_project_ray/context.py).
+import ocr_endpoint_project_ray  # noqa: F401
+from ocr_endpoint_project_ray.pipelines.extraction import (
+    extraction_flat,
+    extraction_pipeline,
+)
+from ocr_endpoint_project_ray.pipelines.relational import (
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
+from ocr_endpoint_project_ray.pipelines.textops import TEXT_ORACLES, TEXT_QUERIES
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the interleaved-span corpus from
+    sf0.001 documents, extract (boilerplate strip + OCR + ordered
+    reassembly), return the flat span table (stable schema:
+    doc_id, offset, kind, text, media_ref)."""
+    return extraction_flat("/root/testdata/sf0.001", num_partitions=16)
+
+
+def _extract_query(sf_dir: str) -> Any:
+    return extraction_flat(sf_dir, num_partitions=16)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(RELATIONAL_QUERIES)
+    out.update(TEXT_QUERIES)
+    out["x_extract_spans"] = _extract_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(RELATIONAL_ORACLES)
+    out.update(TEXT_ORACLES)
+    return out

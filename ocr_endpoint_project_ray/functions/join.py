@@ -1,0 +1,101 @@
+"""Joins: broadcast small-side equi-join (the engine's default) and a thin
+wrapper over Ray's distributed hash join for large×large.
+
+Every join in the reference is a filename-stem lookup against a small fixture
+set (SURVEY.md §2.8) — a broadcast join. We ``ray.put`` the small side ONCE
+and build the hash index ONCE PER ACTOR in ``__init__`` (not per batch, not
+per task), then map it over batches with a vectorized pandas ``.map``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..context import default_num_partitions
+
+
+class _BroadcastJoiner:
+    """Actor-pool map_batches callable holding the broadcast index."""
+
+    def __init__(
+        self,
+        small_ref: ray.ObjectRef,
+        left_on: str,
+        right_on: str,
+        value_cols: list[str],
+        how: str,
+    ) -> None:
+        small: pa.Table = ray.get(small_ref)  # zero-copy from object store
+        keys = small.column(right_on).to_pandas()
+        self._maps = {
+            c: pd.Series(small.column(c).to_pandas().values, index=keys) for c in value_cols
+        }
+        self._key_set = set(keys)
+        self._left_on = left_on
+        self._how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self._left_on).to_pandas()
+        for c, mapping in self._maps.items():
+            mapped = keys.map(mapping)
+            batch = batch.append_column(c, pa.Array.from_pandas(mapped))
+        if self._how == "inner":
+            mask = pa.array(keys.isin(self._key_set).values)
+            batch = batch.filter(mask)
+        return batch
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    *,
+    left_on: str,
+    right_on: str,
+    value_cols: list[str] | None = None,
+    how: str = "inner",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Join a Dataset against a small in-memory Arrow table without a shuffle.
+
+    The small side is put in the object store once; every actor reads it
+    zero-copy and indexes it once. Use for dimension tables up to ~100s of MB
+    per node; beyond that use :func:`hash_join`.
+    """
+    if value_cols is None:
+        value_cols = [c for c in small.column_names if c != right_on]
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how}")
+    ref = ray.put(small)
+    return ds.map_batches(
+        _BroadcastJoiner,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+        fn_constructor_args=(ref, left_on, right_on, value_cols, how),
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Large×large distributed hash join (both sides shuffle by key)."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions or default_num_partitions(),
+        on=on,
+        right_on=right_on,
+    )

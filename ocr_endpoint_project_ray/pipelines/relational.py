@@ -1,0 +1,387 @@
+"""Relational query layer over the benchmark tables — each query is a
+Ray-Data-first pipeline (column-pruned reads, map-side partial aggregation,
+broadcast joins, keyed dedup) with an exact ANSI-SQL oracle twin registered in
+``ORACLE_SQL``.
+
+Naming/rounding discipline (correctness-gate requirement): every computed
+column is named identically in the Ray pipeline and the SQL; float outputs
+whose value depends on summation order are rounded on BOTH sides (money sums
+→ 2dp, means/rates → 4dp, ratios → 6dp) so ulp noise can't flip the
+value-hash.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.agg import Agg, grouped_agg, py_round_array, round_columns
+from ..functions.join import broadcast_join
+from ..sources.tables import read_table
+from ..stages.dedup import keyed_latest
+
+
+def _mask_filter(ds: ray.data.Dataset, mask_fn) -> ray.data.Dataset:
+    """Vectorized filter: build a boolean Arrow mask per batch."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.filter(mask_fn(batch))
+
+    return ds.map_batches(_f, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (operator classes A1-A5, F1, R3/R6, joins)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Grouped multi-aggregate with derived columns (≙ SURVEY §2.6 A1)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    import datetime
+
+    cutoff = pa.scalar(datetime.datetime(1998, 9, 2), pa.timestamp("us"))
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(1.0, batch.column("l_discount"))
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    derived = ds.map_batches(_derive, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(
+        derived,
+        ["l_returnflag", "l_linestatus"],
+        [
+            Agg("sum_qty", "l_quantity", "sum"),
+            Agg("sum_base_price", "l_extendedprice", "sum"),
+            Agg("sum_disc_price", "disc_price", "sum"),
+            Agg("avg_qty", "l_quantity", "mean", sum_round=2),
+            Agg("avg_price", "l_extendedprice", "mean", sum_round=2),
+            Agg("count_order", "l_quantity", "count_rows"),
+        ],
+    )
+    out = round_columns(out, ["sum_qty", "sum_base_price"], 2)
+    return round_columns(out, ["sum_disc_price"], 4)
+
+
+def q02_revenue_filter(sf_dir: str) -> ray.data.Dataset:
+    """Selective filter + global sum (≙ F1 + single aggregate)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def _mask(b: pa.Table):
+        d = b.column("l_discount")
+        return pc.and_(
+            pc.and_(pc.greater_equal(d, 0.05), pc.less_equal(d, 0.07)),
+            pc.less(b.column("l_quantity"), 24.0),
+        )
+
+    filt = _mask_filter(ds, _mask)
+
+    def _rev(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"revenue": pa.array([pc.sum(pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))).as_py() or 0.0], pa.float64())}
+        )
+
+    partials = filt.map_batches(_rev, batch_size=None, batch_format="pyarrow")
+
+    def _merge(b: pa.Table) -> pa.Table:
+        total = pc.sum(b.column("revenue")).as_py() or 0.0
+        return pa.table({"revenue": pa.array([round(total, 4)], pa.float64())})
+
+    return partials.repartition(num_blocks=1).map_batches(
+        _merge, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def q03_orders_priority(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
+    return grouped_agg(ds, ["o_orderpriority"], [Agg("n_orders", "o_orderpriority", "count_rows")])
+
+
+def q04_status_priority(sf_dir: str) -> ray.data.Dataset:
+    """Two-key grouped aggregate (≙ A3)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = grouped_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        [Agg("n_orders", "o_totalprice", "count_rows"), Agg("total_price", "o_totalprice", "sum")],
+    )
+    return round_columns(out, ["total_price"], 2)
+
+
+def q05_segment_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    out = grouped_agg(
+        ds,
+        ["c_mktsegment"],
+        [
+            Agg("n_customers", "c_acctbal", "count_rows"),
+            Agg("avg_acctbal", "c_acctbal", "mean", sum_round=2),
+        ],
+    )
+    return out
+
+
+def q06_part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "part", columns=["p_type", "p_retailprice"])
+    out = grouped_agg(
+        ds,
+        ["p_type"],
+        [
+            Agg("n_parts", "p_retailprice", "count_rows"),
+            Agg("avg_price", "p_retailprice", "mean", sum_round=2),
+            Agg("min_price", "p_retailprice", "min"),
+            Agg("max_price", "p_retailprice", "max"),
+        ],
+    )
+    return out
+
+
+def q07_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast-small-side equi-join chain (≙ §2.8 joins / A9): the
+    customer→nation dimension map is built driver-side (tiny) and shipped
+    once via ray.put; the fact table never shuffles."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = {
+        r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
+    }
+    dim = pa.table(
+        {
+            "c_custkey": cust.column("c_custkey"),
+            "n_name": pa.array(
+                [nmap[k] for k in cust.column("c_nationkey").to_pylist()], pa.string()
+            ),
+        }
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, left_on="o_custkey", right_on="c_custkey", how="inner")
+    out = grouped_agg(joined, ["n_name"], [Agg("revenue", "o_totalprice", "sum")])
+    return round_columns(out, ["revenue"], 2)
+
+
+def q08_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Global sort → top-k (≙ R3/R6); deterministic tiebreak on key."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q09_latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Latest-snapshot keyed dedup (≙ A6, the resume primitive)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type", "value"])
+    latest = keyed_latest(
+        ds, ["user_id"], [("ts", "descending"), ("event_id", "descending")]
+    )
+    return latest.drop_columns(["ts"])
+
+
+def q10_event_type_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_agg(
+        ds,
+        ["event_type"],
+        [
+            Agg("n_events", "value", "count_rows"),
+            Agg("avg_value", "value", "mean", sum_round=2),
+            Agg("sum_value", "value", "sum"),
+        ],
+    )
+    return round_columns(out, ["sum_value"], 2)
+
+
+def q11_hourly_events(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window (hourly) grouped aggregate — the engine's windowed
+    aggregation primitive (reference has no streaming; this is the batch
+    equivalent of an event-time window)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _hour(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour_key": pc.cast(hour, pa.int64()),
+                "value": b.column("value"),
+            }
+        )
+
+    hourly = ds.map_batches(_hour, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(
+        hourly,
+        ["event_type", "hour_key"],
+        [Agg("n_events", "value", "count_rows"), Agg("sum_value", "value", "sum")],
+    )
+    out = round_columns(out, ["sum_value"], 2)
+
+    def _back(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("hour_key"), pa.timestamp("us"))
+        b = b.drop_columns(["hour_key"])
+        return b.append_column("hour_ts", ts)
+
+    return out.map_batches(_back, batch_size=None, batch_format="pyarrow")
+
+
+def q12_high_value_rate(sf_dir: str) -> ray.data.Dataset:
+    """Boolean-rate aggregate (≙ A2/A4 success-rate semantics)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _ind(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hi": pc.cast(pc.greater(b.column("value"), 100.0), pa.int64()),
+            }
+        )
+
+    ind = ds.map_batches(_ind, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(
+        ind,
+        ["event_type"],
+        [Agg("n_events", "hi", "count_rows"), Agg("n_high", "hi", "sum")],
+    )
+
+    def _rate(b: pa.Table) -> pa.Table:
+        rate = pc.divide(
+            pc.multiply(100.0, pc.cast(b.column("n_high"), pa.float64())),
+            pc.cast(b.column("n_events"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": b.column("n_events"),
+                "high_rate_pct": rate,
+            }
+        )
+
+    return agg.map_batches(_rate, batch_size=None, batch_format="pyarrow")
+
+
+def q13_minmax_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """Global min-max normalization (≙ R5): two-pass — tiny Min/Max aggregate,
+    then a scaled map. Dataset-level, not driver-side, so it scales."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    bounds = ds.aggregate(Min("s_acctbal"), Max("s_acctbal"))
+    mn, mx = bounds["min(s_acctbal)"], bounds["max(s_acctbal)"]
+    span = mx - mn
+
+    def _scale(b: pa.Table) -> pa.Table:
+        if span == 0:
+            norm = pa.array([1.0] * b.num_rows, pa.float64())
+        else:
+            norm = pc.divide(pc.subtract(b.column("s_acctbal"), mn), span)
+        return pa.table({"s_suppkey": b.column("s_suppkey"), "acctbal_norm": norm})
+
+    return ds.map_batches(_scale, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_quantity), 2) / count(*) AS avg_qty,
+               round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_revenue_filter": """
+        SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 4) AS revenue
+        FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q03_orders_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority
+    """,
+    "q04_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    "q05_segment_stats": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) / count(*) AS avg_acctbal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "q06_part_type_stats": """
+        SELECT p_type, count(*) AS n_parts, round(sum(p_retailprice), 2) / count(*) AS avg_price,
+               min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+        FROM part GROUP BY p_type
+    """,
+    "q07_revenue_by_nation": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q08_top_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q09_latest_event_per_user": """
+        SELECT user_id, event_id, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "q10_event_type_stats": """
+        SELECT event_type, count(*) AS n_events, round(sum(value), 2) / count(*) AS avg_value,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "q11_hourly_events": """
+        SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+               date_trunc('hour', ts) AS hour_ts
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "q12_high_value_rate": """
+        SELECT event_type, count(*) AS n_events,
+               100.0 * sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) / count(*)
+                   AS high_rate_pct
+        FROM events GROUP BY event_type
+    """,
+    "q13_minmax_suppliers": """
+        SELECT s_suppkey,
+               (s_acctbal - min(s_acctbal) OVER ()) /
+                     (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
+        FROM supplier
+    """,
+}
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_filter": q02_revenue_filter,
+    "q03_orders_priority": q03_orders_priority,
+    "q04_status_priority": q04_status_priority,
+    "q05_segment_stats": q05_segment_stats,
+    "q06_part_type_stats": q06_part_type_stats,
+    "q07_revenue_by_nation": q07_revenue_by_nation,
+    "q08_top_orders": q08_top_orders,
+    "q09_latest_event_per_user": q09_latest_event_per_user,
+    "q10_event_type_stats": q10_event_type_stats,
+    "q11_hourly_events": q11_hourly_events,
+    "q12_high_value_rate": q12_high_value_rate,
+    "q13_minmax_suppliers": q13_minmax_suppliers,
+}

@@ -1,0 +1,116 @@
+"""Ranking / scorecard operators over small aggregates (SURVEY.md §2.6-2.7).
+
+These mirror the reference's decision layer: min-max scorecards
+(``scripts/generate_decision_report.py:70-76,158-200``), Borda ranking
+(``pages/2_OCR_Benchmark.py:574-590``), Condorcet criterion wins
+(``pages/2_OCR_Benchmark.py:592-608``), best-row recommendation
+(``pages/results_summary.py:56-81``). They run on *already-aggregated*
+per-group tables (rows ≈ #models), so they are driver-side by design — the
+heavy lifting happened in the distributed grouped_agg that produced the
+input. Ties are broken deterministically by entity name (a documented
+deviation from the reference, whose tie order is input-order-dependent).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def minmax_normalize(
+    table: pa.Table, cols: list[str], *, invert: list[str] | None = None, suffix: str = "_norm"
+) -> pa.Table:
+    """Min-max scale each column to [0,1]; constant columns → 1.0
+    (reference: generate_decision_report.py:70-76). ``invert`` lists
+    lower-is-better columns (scaled as 1 - norm)."""
+    invert = invert or []
+    for c in cols:
+        col = pc.cast(table.column(c), pa.float64())
+        mn = pc.min(col).as_py()
+        mx = pc.max(col).as_py()
+        if mn is None or mx is None or mx == mn:
+            norm = pa.array([1.0] * table.num_rows, pa.float64())
+        else:
+            norm = pc.divide(pc.subtract(col, mn), mx - mn)
+            if c in invert:
+                norm = pc.subtract(1.0, norm)
+        table = table.append_column(c + suffix, norm)
+    return table
+
+
+def weighted_score(
+    table: pa.Table, weights: dict[str, float], *, out: str = "decision_score"
+) -> pa.Table:
+    """Weighted sum of (already-normalized) criterion columns."""
+    acc = None
+    for c, w in weights.items():
+        term = pc.multiply(pc.cast(table.column(c), pa.float64()), w)
+        acc = term if acc is None else pc.add(acc, term)
+    return table.append_column(out, acc)
+
+
+def borda_rank(
+    table: pa.Table,
+    entity_col: str,
+    criteria: dict[str, bool],
+    *,
+    weights: dict[str, float] | None = None,
+    out: str = "borda_points",
+) -> pa.Table:
+    """Weighted Borda count: per criterion, rank entities (True = higher is
+    better), position r (0-based best) earns ``(n-1-r) * weight`` points.
+    Ties are fully broken by entity name so the result is deterministic."""
+    n = table.num_rows
+    entities = table.column(entity_col).to_pylist()
+    points = dict.fromkeys(entities, 0.0)
+    for crit, higher_better in criteria.items():
+        w = (weights or {}).get(crit, 1.0)
+        vals = table.column(crit).to_pylist()
+        # best first; ties broken by entity name ascending
+        order = sorted(
+            range(n),
+            key=lambda i: (-(vals[i]) if higher_better else vals[i], entities[i]),
+        )
+        for r, i in enumerate(order):
+            points[entities[i]] += (n - 1 - r) * w
+    out_entities = sorted(points)
+    return pa.table(
+        {
+            entity_col: pa.array(out_entities, pa.string()),
+            out: pa.array([points[e] for e in out_entities], pa.float64()),
+        }
+    )
+
+
+def condorcet_wins(
+    table: pa.Table, entity_col: str, criteria: dict[str, bool], *, out: str = "wins"
+) -> pa.Table:
+    """Count criteria won per entity; ties on a criterion → all tied entities
+    win it (reference: 2_OCR_Benchmark.py:592-608)."""
+    entities = table.column(entity_col).to_pylist()
+    wins = dict.fromkeys(entities, 0)
+    for crit, higher_better in criteria.items():
+        vals = table.column(crit).to_pylist()
+        best = max(vals) if higher_better else min(vals)
+        for e, v in zip(entities, vals):
+            if v == best:
+                wins[e] += 1
+    out_entities = sorted(wins)
+    return pa.table(
+        {
+            entity_col: pa.array(out_entities, pa.string()),
+            out: pa.array([wins[e] for e in out_entities], pa.int64()),
+        }
+    )
+
+
+def recommend_best(
+    table: pa.Table, sort_spec: list[tuple[str, str]], *, tiebreak: str | None = None
+) -> pa.Table:
+    """Multi-key sort → top-1 (reference: results_summary.py:56-81).
+    ``tiebreak`` (entity name asc) makes the winner deterministic."""
+    keys = list(sort_spec)
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+    idx = pc.sort_indices(table, sort_keys=keys)
+    return table.take(idx[:1])

@@ -1,0 +1,331 @@
+"""Text-analysis / training-data queries over the ``documents`` and
+``embeddings`` tables: dedup, fingerprinting, token counting, quality
+scoring, CER scoring, source ranking, ANN — each Ray-Data-first with a DuckDB
+oracle where SQL can express the semantics (the rest are registered as
+rows-only checks in ``__ray_entry__``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.agg import Agg, grouped_agg, py_round_array, round_columns
+from ..functions.metrics import edit_distance
+from ..functions.text import (
+    count_tokens_ws,
+    detect_language_batch,
+    md5_hex_batch,
+    normalize_text_array,
+    quality_features,
+    rolling_fingerprint,
+)
+from ..sources.tables import read_table
+from ..stages.ann import ann_topk, ann_topk_lsh
+from ..stages.dedup import exact_dedup_by_content, minhash_lsh_pairs, simhash_batch
+from .reports import borda_rank, condorcet_wins, recommend_best
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries
+# ---------------------------------------------------------------------------
+
+
+def q14_doc_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact content dedup: keeper (min doc_id) + dup_count per distinct text."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_by_content(ds, content_col="text", id_col="doc_id")
+
+
+def q15_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Content fingerprint (md5) per document."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"), "fp": md5_hex_batch(b.column("text"))})
+
+    return ds.map_batches(_fp, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q16_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per doc (vectorized regex count)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pc.cast(count_tokens_ws(b.column("text")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_tok, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q17_doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc quality features (length + character-class ratios)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _q(b: pa.Table) -> pa.Table:
+        f = quality_features(b.column("text"))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars_calc": f["n_chars"],
+                "alpha_ratio": f["alpha_ratio"],
+                "digit_ratio": f["digit_ratio"],
+                "space_ratio": f["space_ratio"],
+            }
+        )
+
+    return ds.map_batches(_q, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q18_lang_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = grouped_agg(
+        ds,
+        ["lang"],
+        [Agg("n_docs", "n_chars", "count_rows"), Agg("avg_chars", "n_chars", "mean")],
+    )
+    return out
+
+
+def q19_cer_scores(sf_dir: str) -> ray.data.Dataset:
+    """CER between the normalized doc prefix and a deterministic perturbation
+    (e→3) — exercises the real Levenshtein DP (ocr_common.py:118-141
+    semantics) against DuckDB's levenshtein()."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _cer(b: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(b.column("text"), 0, 256)
+        gt_arr = normalize_text_array(prefix)
+        gts = gt_arr.to_pylist()
+        # dist*100.0/len, in exactly this operation order — the SQL twin
+        # computes levenshtein(gt,pred)*100.0/length(gt) and a different op
+        # order differs by one ulp (enough to break an exact value-hash)
+        scores = [
+            (edit_distance(list(g), list(g.replace("e", "3"))) * 100.0 / len(g)) if g else 0.0
+            for g in gts
+        ]
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "cer_pct": pa.array(scores, pa.float64())}
+        )
+
+    return ds.map_batches(_cer, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _source_stats(sf_dir: str) -> pa.Table:
+    """Per-source aggregate (distributed) collected to a tiny driver table."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = grouped_agg(
+        ds,
+        ["source"],
+        [Agg("avg_chars", "n_chars", "mean"), Agg("n_docs", "n_chars", "count_rows")],
+    )
+    return pa.Table.from_pylist(agg.take_all())
+
+
+def q20_borda_sources(sf_dir: str) -> pa.Table:
+    """Borda ranking of sources on (avg_chars, n_docs) — ≙ R1."""
+    return borda_rank(
+        _source_stats(sf_dir), "source", {"avg_chars": True, "n_docs": True}
+    )
+
+
+def q21_condorcet_sources(sf_dir: str) -> pa.Table:
+    """Criterion-wins count — ≙ R2."""
+    return condorcet_wins(_source_stats(sf_dir), "source", {"avg_chars": True, "n_docs": True})
+
+
+def q22_recommend_source(sf_dir: str) -> pa.Table:
+    """Multi-key sort → top-1 — ≙ R3/R4."""
+    stats = _source_stats(sf_dir)
+    best = recommend_best(
+        stats,
+        [("avg_chars", "descending"), ("n_docs", "descending")],
+        tiebreak="source",
+    )
+    return pa.table(
+        {
+            "source": best.column("source"),
+            "avg_chars": best.column("avg_chars"),
+        }
+    )
+
+
+def q23_ann_topk(sf_dir: str) -> ray.data.Dataset:
+    """Brute-force cosine top-5: queries = vec_id < 8, corpus = vec_id >= 8."""
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = queries.filter(pc.less(queries.column("vec_id"), 8))
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _corpus_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("vec_id"), 8))
+
+    corpus = corpus.map_batches(
+        _corpus_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ann_topk(corpus, queries, k=5)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "nn_rank"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+TEXT_ORACLES: dict[str, str] = {
+    "q14_doc_dedup": """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
+    """,
+    "q15_doc_fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "q16_token_counts": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    """,
+    "q17_doc_quality": """
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) END
+                   AS alpha_ratio,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) END
+                   AS digit_ratio,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE (length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text) END
+                   AS space_ratio
+        FROM documents
+    """,
+    "q18_lang_stats": """
+        SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "q19_cer_scores": """
+        WITH t AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        regexp_replace(lower(substr(text, 1, 256)), '[^a-z0-9_ ]', ' ', 'g'),
+                        ' +', ' ', 'g')) AS gt
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN length(gt) = 0 THEN 0.0
+                    ELSE levenshtein(gt, replace(gt, 'e', '3')) * 100.0 / length(gt) END
+                   AS cer_pct
+        FROM t
+    """,
+    "q20_borda_sources": """
+        WITH s AS (SELECT source, avg(n_chars) AS ac, count(*) AS nd
+                   FROM documents GROUP BY source),
+             r1 AS (SELECT source, row_number() OVER (ORDER BY ac DESC, source ASC) AS rn1 FROM s),
+             r2 AS (SELECT source, row_number() OVER (ORDER BY nd DESC, source ASC) AS rn2 FROM s),
+             n AS (SELECT count(*) AS n FROM s)
+        SELECT s.source, CAST((n.n - r1.rn1) + (n.n - r2.rn2) AS DOUBLE) AS borda_points
+        FROM s CROSS JOIN n
+        JOIN r1 ON s.source = r1.source
+        JOIN r2 ON s.source = r2.source
+    """,
+    "q21_condorcet_sources": """
+        WITH s AS (SELECT source, avg(n_chars) AS ac, count(*) AS nd
+                   FROM documents GROUP BY source),
+             m AS (SELECT max(ac) AS mac, max(nd) AS mnd FROM s)
+        SELECT source, CAST((CASE WHEN ac = mac THEN 1 ELSE 0 END) +
+                            (CASE WHEN nd = mnd THEN 1 ELSE 0 END) AS BIGINT) AS wins
+        FROM s CROSS JOIN m
+    """,
+    "q22_recommend_source": """
+        WITH s AS (SELECT source, avg(n_chars) AS ac, count(*) AS nd
+                   FROM documents GROUP BY source)
+        SELECT source, ac AS avg_chars FROM s
+        ORDER BY ac DESC, nd DESC, source ASC LIMIT 1
+    """,
+    "q23_ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 8),
+             c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings WHERE vec_id >= 8),
+             s AS (SELECT qid, nid, list_cosine_similarity(qe, ce) AS sim
+                   FROM q CROSS JOIN c)
+        SELECT qid AS query_id, nid AS neighbor_id, nn_rank FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS nn_rank
+            FROM s) WHERE nn_rank <= 5
+    """,
+}
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (semantics SQL can't express — driver records row checks)
+# ---------------------------------------------------------------------------
+
+
+def x_langid(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-heuristic language ID per doc."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _lid(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "pred_lang": detect_language_batch(b.column("text"))}
+        )
+
+    return ds.map_batches(_lid, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def x_simhash(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def x_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        fps = [rolling_fingerprint(t or "") for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"), "fp64": pa.array(fps, pa.int64())})
+
+    return ds.map_batches(_fp, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def x_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, threshold=0.5, verify_texts=texts)
+
+
+def x_ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    """LSH-bucketed approximate ANN (scale path of q23)."""
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = queries.filter(pc.less(queries.column("vec_id"), 8))
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _corpus_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("vec_id"), 8))
+
+    corpus = corpus.map_batches(
+        _corpus_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ann_topk_lsh(corpus, queries, k=5)
+
+
+TEXT_QUERIES = {
+    "q14_doc_dedup": q14_doc_dedup,
+    "q15_doc_fingerprint": q15_doc_fingerprint,
+    "q16_token_counts": q16_token_counts,
+    "q17_doc_quality": q17_doc_quality,
+    "q18_lang_stats": q18_lang_stats,
+    "q19_cer_scores": q19_cer_scores,
+    "q20_borda_sources": q20_borda_sources,
+    "q21_condorcet_sources": q21_condorcet_sources,
+    "q22_recommend_source": q22_recommend_source,
+    "q23_ann_topk": q23_ann_topk,
+    "x_langid": x_langid,
+    "x_simhash": x_simhash,
+    "x_rolling_fingerprint": x_rolling_fingerprint,
+    "x_minhash_pairs": x_minhash_pairs,
+    "x_ann_lsh": x_ann_lsh,
+}

@@ -1,0 +1,229 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one float64 matmul against it, per-batch
+top-k candidates are merged with a tiny keyed reduce. The scale path is an
+LSH-bucketed variant (random hyperplane signatures) that prunes the corpus
+per query to matching buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..context import default_num_partitions
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _l2norm(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteForceScorer:
+    """Actor-pool stage: queries loaded+normalized once per actor."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, k: int) -> None:
+        q_tbl: pa.Table = ray.get(queries_ref)
+        self._qids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        self._q = _l2norm(_to_matrix(q_tbl.column("embedding")))
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or self._q.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _l2norm(_to_matrix(batch.column("embedding")))
+        sims = self._q @ m.T  # (n_queries, n_batch)
+        k = min(self._k, sims.shape[1])
+        # per-batch top-k candidates per query (argpartition, then exact sort at merge)
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        qi = np.repeat(self._qids, k)
+        ni = ids[part.ravel()]
+        sv = np.take_along_axis(sims, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "neighbor_id": pa.array(ni, pa.int64()),
+                "sim": pa.array(sv, pa.float64()),
+            }
+        )
+
+
+def _topk_per_query(batch: pa.Table, k: int) -> pa.Table:
+    """Per-block (post keyed repartition): exact top-k per query with
+    deterministic ordering (sim desc, neighbor_id asc) and a rank column."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("sim", "descending"),
+                ("neighbor_id", "ascending"),
+            ],
+        )
+    )
+    qids = batch.column("query_id").to_numpy(zero_copy_only=False)
+    n = len(qids)
+    starts = np.concatenate(([True], qids[1:] != qids[:-1]))
+    run_start_idx = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+    rank = np.arange(n) - run_start_idx + 1
+    keep = rank <= k
+    out = batch.filter(pa.array(keep))
+    return pa.table(
+        {
+            "query_id": out.column("query_id"),
+            "neighbor_id": out.column("neighbor_id"),
+            "rank": pa.array(rank[keep], pa.int64()),
+        }
+    )
+
+
+def ann_topk(
+    corpus: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact brute-force cosine top-k of ``queries`` against the corpus.
+
+    corpus: Dataset with (vec_id:int64, embedding:list<float>);
+    queries: small Arrow table with the same columns (broadcast).
+    Output: (query_id, neighbor_id, rank 1..k), deterministic under ties.
+    """
+    n = num_partitions or default_num_partitions()
+    ref = ray.put(queries)
+    candidates = corpus.map_batches(
+        _BruteForceScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+        fn_constructor_args=(ref, k),
+    )
+    co = candidates.repartition(num_blocks=min(n, 8), keys=["query_id"])
+    return co.map_batches(
+        _topk_per_query, batch_size=None, batch_format="pyarrow", fn_kwargs={"k": k}
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneSigner:
+    """Random-hyperplane LSH signatures; planes generated once per actor from
+    a fixed seed (deterministic across the fleet)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11) -> None:
+        rng = np.random.default_rng(seed)
+        self._planes = rng.standard_normal((dim, n_planes))
+        self._pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def sign(self, m: np.ndarray) -> np.ndarray:
+        return (((m @ self._planes) > 0).astype(np.int64) * self._pows).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        sig = self.sign(m) if m.size else np.array([], dtype=np.int64)
+        return batch.append_column("bucket", pa.array(sig, pa.int64()))
+
+
+def ann_topk_lsh(
+    corpus: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    dim: int | None = None,
+    n_planes: int = 8,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate top-k: score each corpus batch only against queries whose
+    hyperplane bucket matches a row in the batch. Same output schema as
+    :func:`ann_topk`; recall < 1 by construction (approximation is the point
+    — at 10^12 rows brute force per query is the fallback, not the default).
+    """
+    if dim is None:
+        dim = len(queries.column("embedding")[0].as_py())
+    signer = HyperplaneSigner(dim, n_planes)
+    q_m = _l2norm(_to_matrix(queries.column("embedding")))
+    q_sig = signer.sign(q_m)
+    q_by_bucket: dict[int, list[int]] = {}
+    for i, b in enumerate(q_sig):
+        q_by_bucket.setdefault(int(b), []).append(i)
+    qids = np.asarray(queries.column("vec_id").to_pylist(), dtype=np.int64)
+    ref = ray.put((q_by_bucket, q_m, qids))
+
+    class _BucketScorer:
+        def __init__(self) -> None:
+            self._signer = HyperplaneSigner(dim, n_planes)
+            self._q_by_bucket, self._q_m, self._qids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            m = _l2norm(_to_matrix(batch.column("embedding")))
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            sig = self._signer.sign(m)
+            out_q, out_n, out_s = [], [], []
+            for bucket in np.unique(sig):
+                q_idx = self._q_by_bucket.get(int(bucket))
+                if not q_idx:
+                    continue
+                rows = np.nonzero(sig == bucket)[0]
+                sims = self._q_m[q_idx] @ m[rows].T
+                for qi_pos, qi in enumerate(q_idx):
+                    out_q.extend([self._qids[qi]] * len(rows))
+                    out_n.extend(ids[rows])
+                    out_s.extend(sims[qi_pos])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    n = num_partitions or default_num_partitions()
+    candidates = corpus.map_batches(
+        _BucketScorer, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    co = candidates.repartition(num_blocks=min(n, 8), keys=["query_id"])
+    return co.map_batches(
+        _topk_per_query, batch_size=None, batch_format="pyarrow", fn_kwargs={"k": k}
+    )

@@ -1,0 +1,78 @@
+"""Driver-style correctness gate: every SQL-oracled query must match DuckDB
+on the same parquet (row count + schema-compatible values, order-insensitive),
+and rows-only queries must execute and return rows."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return pa.Table.from_pylist(result.take_all()).to_pandas()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+
+ORACLED = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, con, sf_dir):
+    ray_df = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
+    sql_df = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} rows != {len(sql_df)}"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=False, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(name, sf_dir):
+    df = _to_pandas(entrymod.queries()[name](sf_dir))
+    assert df is not None
+    # x_minhash_pairs may legitimately be empty (no near-dups in corpus)
+    if name not in ("x_minhash_pairs",):
+        assert len(df) > 0, f"{name} returned no rows"
+
+
+def test_entry_runs():
+    ds = entrymod.entry()
+    df = _to_pandas(ds)
+    assert len(df) > 0
+    assert sorted(df.columns) == ["doc_id", "kind", "media_ref", "offset", "text"]
