@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline extraction pipeline + the query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and print ONE JSON line::
+
+    {"metric": "extraction_wall_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs": D, "docs_per_sec": T}
+
+``--scaling``: run the headline pipeline in two FRESH processes
+(``ray.init(num_cpus=8)`` then 32) on the same input and report both
+throughputs plus scaling efficiency = (T_8 / T_32) / (32/8).
+
+``--headline-only``: internal mode used by --scaling subprocesses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: Corpus tiling factor for the headline run — the documents table is small
+#: relative to lineitem, so we tile it (deterministic doc_id offsets) to give
+#: the throughput number enough work to amortize fixed startup.
+TILE = int(os.environ.get("GRAFT_TILE", "8"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def _tiled_docs(sf_dir: str, tile: int):
+    """documents ×tile with deterministic per-tile doc_id offsets."""
+    import pyarrow as pa
+
+    import ray.data
+
+    def _tile(batch: pa.Table) -> pa.Table:
+        if tile <= 1:
+            return batch
+        tables = []
+        for j in range(tile):
+            ids = pa.compute.add(batch.column("doc_id"), j * 100_000_000)
+            tables.append(pa.table({"doc_id": ids, "text": batch.column("text")}))
+        return pa.concat_tables(tables)
+
+    from ocr_endpoint_project_ray.context import default_num_partitions
+
+    # the single small parquet file reads as one block — split it so the map
+    # chain parallelizes across the cluster
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .repartition(default_num_partitions(per_cpu=2))
+        .map_batches(_tile, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def run_headline(sf_dir: str, *, warmup: bool = True) -> dict:
+    from ocr_endpoint_project_ray.pipelines.extraction import extract_documents
+    from ocr_endpoint_project_ray.sources.corpus import synth_spans_batch
+
+    if warmup:  # spin up worker processes so the measurement is steady-state
+        extract_documents(
+            _tiled_docs(sf_dir, 1).limit(200).map_batches(
+                synth_spans_batch, batch_size=None, batch_format="pyarrow"
+            ),
+            salted=True,
+        ).count()
+
+    docs = _tiled_docs(sf_dir, TILE).map_batches(
+        synth_spans_batch, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    t0 = time.time()
+    n = extract_documents(docs, salted=True).count()
+    wall = time.time() - t0
+    return {"docs": n, "extraction_wall_sec": round(wall, 3), "docs_per_sec": round(n / wall, 1)}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as em
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(em.queries().items()):
+        t0 = time.time()
+        result = fn(sf_dir)
+        # consume lazily-built datasets
+        if hasattr(result, "count"):
+            result.count()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--headline-only", action="store_true")
+    parser.add_argument("--skip-queries", action="store_true")
+    args = parser.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["value"]
+        t32 = results[32]["value"]
+        efficiency = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "value": round(efficiency, 3),
+                    "unit": "ratio",
+                    "sf": SF_DIR,
+                    "detail": {
+                        "docs": results[32]["docs"],
+                        "wall_sec_8cpu": t8,
+                        "wall_sec_32cpu": t32,
+                        "docs_per_sec_8cpu": results[8]["docs_per_sec"],
+                        "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+                    },
+                }
+            )
+        )
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(NUM_CPUS)
+    import ray
+
+    try:
+        headline = run_headline(SF_DIR)
+        queries = {} if (args.skip_queries or args.headline_only) else run_queries(SF_DIR)
+        print(
+            json.dumps(
+                {
+                    "metric": "extraction_wall_sec",
+                    "value": headline["extraction_wall_sec"],
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                    "docs": headline["docs"],
+                    "docs_per_sec": headline["docs_per_sec"],
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,20 @@ def ensure_hash_shuffle() -> None:
     ctx = ray.data.DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Every hash-shuffle op spawns its own aggregator-actor pool (one actor
+    # per partition by default, NOT reused across ops). Uncapped, a pipeline
+    # with two keyed shuffles at 64 partitions spawns 128 actors and spends
+    # its wall-clock on process startup. A handful of aggregators per shuffle
+    # is plenty on a single node; partition count stays independent.
+    if ctx.max_hash_shuffle_aggregators is None or ctx.max_hash_shuffle_aggregators > 8:
+        ctx.max_hash_shuffle_aggregators = 8
+    # Don't let aggregators reserve cores away from map stages: with the
+    # default per-partition reservation, two keyed shuffles at 64 partitions
+    # reserve the entire 32-CPU node for aggregators and the pipeline
+    # deadlocks (map tasks can never schedule). Aggregators are mostly
+    # IO/buffering; a nominal reservation is enough.
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
 
 
 def default_num_partitions(per_cpu: int = 2, floor: int = 8, cap: int = 512) -> int:

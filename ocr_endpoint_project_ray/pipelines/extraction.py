@@ -19,6 +19,7 @@ from ..stages.extract import (
     DEFAULT_SHARD_SIZE,
     OcrStage,
     explode_spans,
+    ocr_media_spans,
     reassemble_spans,
     strip_html_spans,
 )
@@ -27,10 +28,10 @@ from ..stages.extract import (
 def extract_documents(
     docs: ray.data.Dataset,
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     salted: bool = True,
     shard_size: int = DEFAULT_SHARD_SIZE,
-    ocr_concurrency: int | tuple[int, int] = (1, 8),
+    ocr_concurrency: int | tuple[int, int] | None = None,
     ocr_batch_size: int = 1024,
 ) -> ray.data.Dataset:
     """Run the full extraction over an interleaved-document Dataset.
@@ -49,23 +50,41 @@ def extract_documents(
     stripped = flat.map_batches(
         strip_html_spans, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    ocred = stripped.map_batches(
-        OcrStage,
-        batch_size=ocr_batch_size,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=ocr_concurrency,
-    )
+    if ocr_concurrency is None:
+        # task-based OCR with a warm per-worker-process engine: stateless
+        # task pools scale with blocks and fuse with the upstream maps into
+        # one pass. An actor pool here would become the fused chain's
+        # concurrency ceiling (operator fusion folds the whole map chain
+        # into the actor-pool operator).
+        ocred = stripped.map_batches(
+            ocr_media_spans, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # explicit actor pool for heavyweight engines (multi-GB model load)
+        ocred = stripped.map_batches(
+            OcrStage,
+            batch_size=ocr_batch_size,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=ocr_concurrency,
+        )
     return reassemble_spans(ocred, num_partitions=num_partitions, salted=salted)
 
 
 def extraction_pipeline(sf_dir: str, **kwargs) -> ray.data.Dataset:
     """documents.parquet → synthetic interleaved corpus → extraction.
 
-    Column-pruned read: only (doc_id, text) leave storage.
+    Column-pruned read: only (doc_id, text) leave storage. The local corpus
+    is a single small parquet file → one read block → downstream map
+    parallelism of 1; split it across the cluster first (a real 100 TB corpus
+    arrives as thousands of fragments and doesn't need this).
     """
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        synth_spans_batch, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    from ..context import default_num_partitions
+
+    docs = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(default_num_partitions(per_cpu=1))
+        .map_batches(synth_spans_batch, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
     )
     return extract_documents(docs, **kwargs)
 

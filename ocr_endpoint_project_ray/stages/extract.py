@@ -100,6 +100,60 @@ def strip_html_spans(batch: pa.Table) -> pa.Table:
     )
 
 
+#: Process-global OCR engine, lazily initialized once per worker process.
+#: Task-based stages reuse warm Ray worker processes, so this gives the same
+#: "load once, use many" behavior as an actor pool without pinning the
+#: pipeline's parallelism to an actor pool's autoscaling (operator fusion
+#: folds upstream stateless maps into an actor-pool operator, making the
+#: pool the whole pipeline's concurrency ceiling).
+_PROCESS_ENGINE: dict | None = None
+
+
+def _get_process_engine() -> dict:
+    global _PROCESS_ENGINE
+    if _PROCESS_ENGINE is None:
+        try:  # pragma: no cover - not installed in this container
+            import pytesseract  # noqa: F401
+
+            _PROCESS_ENGINE = {"kind": "tesseract"}
+        except ImportError:
+            _PROCESS_ENGINE = {"kind": "stub"}
+    return _PROCESS_ENGINE
+
+
+def ocr_media_spans(batch: pa.Table) -> pa.Table:
+    """Task-based OCR stage: engine acquired once per worker process.
+
+    Use this when the engine init is cheap-to-moderate; use :class:`OcrStage`
+    (actor pool) when init is heavy enough to deserve dedicated processes
+    (multi-GB models) — and accept that the actor pool then bounds the fused
+    chain's parallelism.
+    """
+    return _ocr_apply(batch, _get_process_engine())
+
+
+def _ocr_apply(batch: pa.Table, engine: dict) -> pa.Table:
+    kinds = batch.column("kind")
+    mask = pc.is_in(kinds, value_set=pa.array(OcrStage.MEDIA_KINDS))
+    if pc.sum(pc.cast(mask, pa.int32())).as_py() == 0:
+        return batch
+    mask_np = mask.combine_chunks().to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    refs = batch.column("media_ref").to_pylist()
+    for i in np.nonzero(mask_np)[0]:
+        try:
+            if engine["kind"] == "stub":
+                digest = hashlib.md5(refs[i].encode("utf-8")).hexdigest()[:12]
+                texts[i] = f"[ocr {digest}]"
+            else:  # pragma: no cover
+                raise NotImplementedError("real OCR engine path requires pytesseract")
+        except Exception as e:  # in-band error, never an exception
+            texts[i] = f"[page error: {type(e).__name__}]"
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+    )
+
+
 class OcrStage:
     """Actor-pool OCR stage for media spans (``image_ref`` / ``pdf_ref``).
 
@@ -125,28 +179,8 @@ class OcrStage:
         except ImportError:
             self._engine = "stub"
 
-    def _ocr_one(self, media_ref: str) -> str:
-        if self._engine == "stub":
-            digest = hashlib.md5(media_ref.encode("utf-8")).hexdigest()[:12]
-            return f"[ocr {digest}]"
-        raise NotImplementedError("real OCR engine path requires pytesseract")
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch.column("kind")
-        mask = pc.is_in(kinds, value_set=pa.array(self.MEDIA_KINDS))
-        if pc.sum(pc.cast(mask, pa.int32())).as_py() == 0:
-            return batch
-        mask_np = mask.combine_chunks().to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        refs = batch.column("media_ref").to_pylist()
-        for i in np.nonzero(mask_np)[0]:
-            try:
-                texts[i] = self._ocr_one(refs[i])
-            except Exception as e:  # in-band error, never an exception
-                texts[i] = f"[page error: {type(e).__name__}]"
-        return batch.set_column(
-            batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
-        )
+        return _ocr_apply(batch, {"kind": self._engine})
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +266,7 @@ def _merge_shards(batch: pa.Table) -> pa.Table:
 def reassemble_spans(
     ds: ray.data.Dataset,
     *,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     salted: bool = False,
 ) -> ray.data.Dataset:
     """Flat span rows → (doc_id, spans:list<struct>) in offset order.
@@ -245,6 +279,9 @@ def reassemble_spans(
     when documents are known to fit a block.
     """
     ensure_hash_shuffle()
+    from ..context import default_num_partitions
+
+    num_partitions = num_partitions or default_num_partitions(per_cpu=1)
     if salted:
         phase1 = ds.repartition(num_blocks=num_partitions, keys=["doc_id", "salt"]).map_batches(
             assemble_block,
