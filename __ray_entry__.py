@@ -25,6 +25,15 @@ from ocr_endpoint_project_ray.pipelines.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )
+from ocr_endpoint_project_ray.pipelines.scoring import (
+    x_extraction_scores,
+    x_score_summary,
+)
+from ocr_endpoint_project_ray.pipelines.structured import (
+    Q24_ORACLE,
+    q24_parse_validity_rates,
+    x_structured_parse,
+)
 from ocr_endpoint_project_ray.pipelines.textops import TEXT_ORACLES, TEXT_QUERIES
 
 
@@ -45,6 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(RELATIONAL_QUERIES)
     out.update(TEXT_QUERIES)
     out["x_extract_spans"] = _extract_query
+    out["q24_parse_validity_rates"] = q24_parse_validity_rates
+    out["x_structured_parse"] = x_structured_parse
+    out["x_extraction_scores"] = x_extraction_scores
+    out["x_score_summary"] = x_score_summary
     return out
 
 
@@ -52,4 +65,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(TEXT_ORACLES)
+    out["q24_parse_validity_rates"] = Q24_ORACLE
     return out

@@ -312,6 +312,31 @@ def x_ann_lsh(sf_dir: str) -> ray.data.Dataset:
     return ann_topk_lsh(corpus, queries, k=5)
 
 
+def x_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing: synthesize media refs → fake payloads →
+    actor-pool decode/feature stage (stubbed decode, real Ray plumbing)."""
+    from ..sources.corpus import doc_id_str
+    from ..stages.media import media_features, synth_media_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _refs(b: pa.Table) -> pa.Table:
+        ids, refs = [], []
+        for i in b.column("doc_id").to_pylist():
+            d = doc_id_str(i)
+            for j in range(2):
+                ids.append(d)
+                refs.append(f"media://{d}/{j}")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.string()), "media_ref": pa.array(refs, pa.string())}
+        )
+
+    media = docs.map_batches(_refs, batch_size=None, batch_format="pyarrow").map_batches(
+        synth_media_batch, batch_size=None, batch_format="pyarrow"
+    )
+    return media_features(media, concurrency=(1, 4), batch_size=128)
+
+
 TEXT_QUERIES = {
     "q14_doc_dedup": q14_doc_dedup,
     "q15_doc_fingerprint": q15_doc_fingerprint,
@@ -328,4 +353,5 @@ TEXT_QUERIES = {
     "x_rolling_fingerprint": x_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,
     "x_ann_lsh": x_ann_lsh,
+    "x_media_features": x_media_features,
 }

@@ -1,0 +1,163 @@
+"""Tests: resumable manifest, media stage plumbing, structured parse,
+extraction scoring."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from ocr_endpoint_project_ray.pipelines.scoring import extraction_scores, x_score_summary
+from ocr_endpoint_project_ray.pipelines.structured import (
+    parse_batch,
+    structured_parse_pipeline,
+    stub_model_record,
+    stub_model_response,
+)
+from ocr_endpoint_project_ray.stages.media import (
+    MediaDecodeStage,
+    media_features,
+    synth_media_batch,
+)
+from ocr_endpoint_project_ray.state.manifest import (
+    done_partitions,
+    manifest_metrics,
+    run_partitioned,
+)
+
+
+class TestManifest:
+    def test_write_resume_skip(self, tmp_path):
+        out = str(tmp_path / "out")
+        calls = []
+
+        def process(i):
+            calls.append(i)
+            return pa.table({"x": pa.array([i] * 3, pa.int64())})
+
+        r1 = run_partitioned(list(range(4)), out, process)
+        assert [r.partition for r in r1] == [0, 1, 2, 3]
+        assert not any(r.skipped for r in r1)
+        assert calls == [0, 1, 2, 3]
+        assert done_partitions(out) == {0, 1, 2, 3}
+
+        # resume: nothing re-processed
+        calls.clear()
+        r2 = run_partitioned(list(range(4)), out, process)
+        assert all(r.skipped for r in r2)
+        assert calls == []
+
+        # damage one partition's data file → only it re-runs
+        (tmp_path / "out" / "part-00002.parquet").unlink()
+        r3 = run_partitioned(list(range(4)), out, process)
+        assert calls == [2]
+        assert [r.skipped for r in r3] == [True, True, False, True]
+
+    def test_metrics_table(self, tmp_path):
+        out = str(tmp_path / "out")
+        run_partitioned([10, 20], out, lambda i: pa.table({"x": pa.array([i], pa.int64())}))
+        m = manifest_metrics(out)
+        assert m.num_rows == 2
+        assert set(m.column_names) >= {"partition", "rows_in", "rows_out", "wall_sec", "sha256"}
+        # output readable as a dataset
+        total = pq.read_table(out + "/part-00000.parquet").num_rows
+        assert total == 1
+
+    def test_torn_manifest_entry_reprocessed(self, tmp_path):
+        out = str(tmp_path / "out")
+        run_partitioned([1], out, lambda i: pa.table({"x": pa.array([i], pa.int64())}))
+        # corrupt the manifest json → partition must count as not-done
+        entry = tmp_path / "out" / "_manifest" / "part-00000.json"
+        entry.write_text("{not json")
+        assert done_partitions(out) == set()
+
+
+class TestMediaStage:
+    def test_decode_features_deterministic(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2"], pa.string()),
+                "media_ref": pa.array(["media://d1/0", "media://d2/0"], pa.string()),
+            }
+        )
+        media = synth_media_batch(batch)
+        assert media.schema.field("payload").type == pa.large_binary()
+        stage = MediaDecodeStage()
+        out1, out2 = stage(media), stage(media)
+        assert out1.to_pylist() == out2.to_pylist()
+        assert all(e is None for e in out1.column("error").to_pylist())
+        assert all(w > 0 for w in out1.column("width").to_pylist())
+
+    def test_empty_payload_is_inband_error(self):
+        media = pa.table(
+            {
+                "doc_id": pa.array(["d"], pa.string()),
+                "media_ref": pa.array(["m"], pa.string()),
+                "media_type": pa.array(["image"], pa.string()),
+                "payload": pa.array([b""], pa.large_binary()),
+            }
+        )
+        out = MediaDecodeStage()(media)
+        assert out.column("error").to_pylist()[0] is not None
+        assert out.column("width").to_pylist()[0] is None
+
+    def test_actor_pool_pipeline(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(20)], pa.string()),
+                "media_ref": pa.array([f"media://d{i}/0" for i in range(20)], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(synth_media_batch(batch))
+        out = media_features(ds, concurrency=2, batch_size=8)
+        assert out.count() == 20
+
+
+class TestStructuredParse:
+    def test_modes(self):
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+        for mode, expect_valid in [(0, 1), (1, 1), (2, 1), (3, 0)]:
+            resp = stub_model_response(mode, text)
+            golden = json.dumps(stub_model_record(text))
+            batch = pa.table(
+                {
+                    "doc_id": pa.array([mode], pa.int64()),
+                    "response": pa.array([resp], pa.string()),
+                    "golden_json": pa.array([golden], pa.string()),
+                }
+            )
+            out = parse_batch(batch).to_pylist()[0]
+            assert out["json_valid"] == expect_valid, f"mode {mode}"
+            if expect_valid:
+                assert out["schema_valid"] == 1
+                assert out["accuracy_pct"] == 100.0  # stub recovers golden exactly
+            else:
+                assert out["error"] == "PARSING_JSON_INVALID"
+
+    def test_pipeline(self, sf_dir):
+        out = structured_parse_pipeline(sf_dir)
+        rows = out.take_all()
+        assert len(rows) == 500
+        invalid = [r for r in rows if r["json_valid"] == 0]
+        # exactly the doc_id % 4 == 3 cohort fails
+        assert all(r["doc_id"] % 4 == 3 for r in invalid)
+        assert len(invalid) == sum(1 for r in rows if r["doc_id"] % 4 == 3)
+
+
+class TestScoring:
+    def test_extracted_beats_raw(self, sf_dir):
+        summary = {r["stage"]: r for r in x_score_summary(sf_dir).take_all()}
+        assert set(summary) == {"extracted", "raw"}
+        # pipeline output matches goldens by construction → ~0 CER;
+        # raw (boilerplate + missing OCR text) must be strictly worse
+        assert summary["extracted"]["avg_cer"] == pytest.approx(0.0, abs=1e-9)
+        assert summary["raw"]["avg_cer"] > summary["extracted"]["avg_cer"]
+        assert summary["extracted"]["avg_word_acc"] == pytest.approx(100.0)
+
+    def test_inner_join_covers_all_docs(self, sf_dir):
+        n = extraction_scores(sf_dir).count()
+        assert n == 2 * 500  # two stages per doc
