@@ -293,6 +293,15 @@ def q13_minmax_suppliers(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_scale, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q25_user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based session windows (custom operator: keyed repartition +
+    per-block vectorized sessionization — stages/windows.py)."""
+    from ..stages.windows import sessionize
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return sessionize(ds)
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -368,6 +377,23 @@ RELATIONAL_ORACLES: dict[str, str] = {
                      (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
         FROM supplier
     """,
+    "q25_user_sessions": """
+        WITH o AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT *, sum(is_start) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_id
+    """,
 }
 
 RELATIONAL_QUERIES = {
@@ -384,4 +410,5 @@ RELATIONAL_QUERIES = {
     "q11_hourly_events": q11_hourly_events,
     "q12_high_value_rate": q12_high_value_rate,
     "q13_minmax_suppliers": q13_minmax_suppliers,
+    "q25_user_sessions": q25_user_sessions,
 }

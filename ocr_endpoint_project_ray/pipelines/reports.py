@@ -104,6 +104,67 @@ def condorcet_wins(
     )
 
 
+def pivot_table(
+    table: pa.Table, *, index: str, columns: str, values: str
+) -> pa.Table:
+    """Head-to-head pivot (≙ A7, generate_decision_report.py:303-329): one
+    row per ``index`` value, one column per ``columns`` value. Driver-side —
+    inputs are small aggregates; a distributed pivot would be a groupby(index)
+    + map_groups building wide rows."""
+    idx_vals = sorted(set(table.column(index).to_pylist()))
+    col_vals = sorted(set(table.column(columns).to_pylist()))
+    cell: dict[tuple, object] = {}
+    for r in table.to_pylist():
+        cell[(r[index], r[columns])] = r[values]
+    out: dict[str, list] = {index: idx_vals}
+    for c in col_vals:
+        out[str(c)] = [cell.get((i, c)) for i in idx_vals]
+    return pa.Table.from_pydict(out)
+
+
+def describe_column(table: pa.Table, col: str) -> dict[str, float]:
+    """count/mean/std/min/quartiles/max (≙ A8 describe,
+    generate_decision_report.py:442-447)."""
+    import numpy as np
+
+    v = np.asarray([x for x in table.column(col).to_pylist() if x is not None], dtype=np.float64)
+    if v.size == 0:
+        return {"count": 0.0}
+    return {
+        "count": float(v.size),
+        "mean": float(v.mean()),
+        "std": float(v.std(ddof=1)) if v.size > 1 else 0.0,
+        "min": float(v.min()),
+        "p25": float(np.percentile(v, 25)),
+        "p50": float(np.percentile(v, 50)),
+        "p75": float(np.percentile(v, 75)),
+        "max": float(v.max()),
+    }
+
+
+def render_markdown_report(
+    title: str, sections: list[tuple[str, pa.Table]], *, float_fmt: str = "{:.4f}"
+) -> str:
+    """Markdown report sink (≙ S8 export sinks,
+    scripts/generate_decision_report.py:429-616): tables of small aggregates
+    rendered driver-side."""
+    lines = [f"# {title}", ""]
+    for heading, table in sections:
+        lines.append(f"## {heading}")
+        lines.append("")
+        cols = table.column_names
+        lines.append("| " + " | ".join(cols) + " |")
+        lines.append("| " + " | ".join("---" for _ in cols) + " |")
+        for row in table.to_pylist():
+            cells = []
+            for c in cols:
+                v = row[c]
+                cells.append(float_fmt.format(v) if isinstance(v, float) else str(v))
+            lines.append("| " + " | ".join(cells) + " |")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def recommend_best(
     table: pa.Table, sort_spec: list[tuple[str, str]], *, tiebreak: str | None = None
 ) -> pa.Table:

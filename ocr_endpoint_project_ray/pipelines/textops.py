@@ -312,6 +312,14 @@ def x_ann_lsh(sf_dir: str) -> ray.data.Dataset:
     return ann_topk_lsh(corpus, queries, k=5)
 
 
+def x_embed_dupes(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets."""
+    from ..stages.ann import embedding_dupe_pairs
+
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dupe_pairs(corpus, threshold=0.9)
+
+
 def x_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthesize media refs → fake payloads →
     actor-pool decode/feature stage (stubbed decode, real Ray plumbing)."""
@@ -354,4 +362,5 @@ TEXT_QUERIES = {
     "x_minhash_pairs": x_minhash_pairs,
     "x_ann_lsh": x_ann_lsh,
     "x_media_features": x_media_features,
+    "x_embed_dupes": x_embed_dupes,
 }

@@ -25,6 +25,22 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.
     return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
 
 
+def read_metadata_csv(path: str, *, key_col: str = "filename") -> ray.data.Dataset:
+    """Dimension-table CSV source with the reference's hygiene filter
+    (≙ load_db_metadata, ocr_common.py:31-41): drop rows with an empty key.
+    Tiny table — take_all + broadcast at use sites."""
+    import pyarrow.compute as pc
+
+    def _nonempty(batch):
+        col = batch.column(key_col)
+        mask = pc.and_(pc.is_valid(col), pc.not_equal(pc.utf8_trim_whitespace(col), ""))
+        return batch.filter(mask)
+
+    return ray.data.read_csv(path).map_batches(
+        _nonempty, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def read_docs(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read an interleaved-document corpus: Lance when available (the
     100 TB target format — streaming column-pruned fragment reads), else

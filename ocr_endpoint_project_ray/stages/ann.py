@@ -134,6 +134,85 @@ def ann_topk(
     )
 
 
+def embedding_dupe_pairs(
+    corpus: ray.data.Dataset,
+    *,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 6,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥ threshold).
+
+    Scale shape: hyperplane-LSH bucket signature per row → keyed repartition
+    on the bucket → within-bucket float64 matmul per block. Only
+    near-parallel vectors share all ``n_planes`` signs, so bucket sizes stay
+    bounded for spread-out data; near-dups (the target) collide with
+    probability ≈ (1 - θ/π)^planes, high when θ→0. Approximate by design:
+    pairs straddling a hyperplane are missed — raise recall with fewer
+    planes or multiple rotated tables.
+    """
+
+    def _sign(batch: pa.Table) -> pa.Table:
+        nonlocal dim
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        if dim is None:
+            dim = len(batch.column("embedding")[0].as_py())
+        signer = HyperplaneSigner(dim, n_planes)
+        m = _to_matrix(batch.column("embedding"))
+        return batch.append_column("bucket", pa.array(signer.sign(m), pa.int64()))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine_sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.take(
+            pc.sort_indices(
+                batch, sort_keys=[("bucket", "ascending"), ("vec_id", "ascending")]
+            )
+        )
+        buckets = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _l2norm(_to_matrix(batch.column("embedding")))
+        out_a, out_b, out_s = [], [], []
+        start = 0
+        n = len(buckets)
+        while start < n:
+            end = start
+            while end < n and buckets[end] == buckets[start]:
+                end += 1
+            if end - start > 1:
+                sub = m[start:end]
+                sims = sub @ sub.T
+                ai, bi = np.triu_indices(end - start, k=1)
+                keep = sims[ai, bi] >= threshold
+                out_a.extend(ids[start:end][ai[keep]])
+                out_b.extend(ids[start:end][bi[keep]])
+                out_s.extend(sims[ai, bi][keep])
+            start = end
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "cosine_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    from ..context import default_num_partitions
+
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
+    signed = corpus.map_batches(_sign, batch_size=None, batch_format="pyarrow")
+    co = signed.repartition(num_blocks=n, keys=["bucket"])
+    return co.map_batches(_pairs, batch_size=None, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,169 @@
+"""Tests: stage registry, validation filters + error categorization, pivot /
+describe / markdown report, CSV dimension source, embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_endpoint_project_ray.pipelines.reports import (
+    describe_column,
+    pivot_table,
+    render_markdown_report,
+)
+from ocr_endpoint_project_ray.registry import (
+    StageSpec,
+    build_pipeline,
+    get_stage,
+    register_stage,
+    registered_stages,
+)
+from ocr_endpoint_project_ray.sources.tables import read_metadata_csv
+from ocr_endpoint_project_ray.stages.ann import embedding_dupe_pairs
+from ocr_endpoint_project_ray.stages.validate import (
+    categorize_errors,
+    split_valid,
+    tag_invalid_rows,
+)
+
+
+class TestRegistry:
+    def test_builtins_present(self):
+        assert {"explode_spans", "strip_html", "ocr_media"} <= set(registered_stages())
+
+    def test_register_and_build(self):
+        def add_one(b: pa.Table) -> pa.Table:
+            return b.set_column(0, "x", pa.compute.add(b.column("x"), 1))
+
+        register_stage(StageSpec("add_one_test", add_one), replace=True)
+        ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+        out = build_pipeline(ds, ["add_one_test", "add_one_test"])
+        assert sorted(r["x"] for r in out.take_all()) == [3, 4]
+
+    def test_duplicate_registration_rejected(self):
+        register_stage(StageSpec("dup_test", lambda b: b), replace=True)
+        with pytest.raises(ValueError):
+            register_stage(StageSpec("dup_test", lambda b: b))
+
+    def test_unknown_stage(self):
+        with pytest.raises(KeyError):
+            get_stage("no_such_stage")
+
+
+class TestValidation:
+    def _batch(self):
+        return pa.table(
+            {
+                "filename": pa.array(
+                    ["a.pdf", "b.exe", "c.PNG", "d.docx", "e.jpeg"], pa.string()
+                ),
+                "payload": pa.array(
+                    [b"x", b"y", b"", b"z" * 10, b"ok"], pa.large_binary()
+                ),
+            }
+        )
+
+    def test_tagging(self):
+        out = tag_invalid_rows(self._batch(), payload_col="payload")
+        reasons = out.column("reject_reason").to_pylist()
+        assert reasons == [None, "unsupported_media_type", "empty_file", None, None]
+
+    def test_size_cap(self):
+        batch = pa.table(
+            {
+                "filename": pa.array(["big.pdf"], pa.string()),
+                "payload": pa.array([b"x" * 32], pa.large_binary()),
+            }
+        )
+        out = tag_invalid_rows(batch, payload_col="payload", max_bytes=16)
+        assert out.column("reject_reason").to_pylist() == ["payload_too_large"]
+
+    def test_split_with_skip_accounting(self):
+        ds = ray.data.from_arrow(self._batch()).materialize()
+        ok, rej = split_valid(ds, payload_col="payload")
+        assert ok.count() == 3
+        rej_rows = rej.take_all()
+        assert {r["reject_reason"] for r in rej_rows} == {
+            "unsupported_media_type",
+            "empty_file",
+        }
+
+    def test_categorize_errors(self):
+        batch = pa.table(
+            {
+                "error": pa.array(
+                    [
+                        None,
+                        "request timeout after 120s",
+                        "PARSING_JSON_INVALID",
+                        "PARSING_SCHEMA_VALIDATION_FAILED: x",
+                        "boom",
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+        cats = categorize_errors(batch).column("error_category").to_pylist()
+        assert cats == ["none", "timeout", "invalid_json", "schema_validation", "other_error"]
+
+
+class TestReports:
+    def test_pivot(self):
+        t = pa.table(
+            {
+                "cv": pa.array(["c1", "c1", "c2"], pa.string()),
+                "model": pa.array(["m1", "m2", "m1"], pa.string()),
+                "cer": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+        p = pivot_table(t, index="cv", columns="model", values="cer")
+        assert p.column_names == ["cv", "m1", "m2"]
+        assert p.to_pylist() == [
+            {"cv": "c1", "m1": 1.0, "m2": 2.0},
+            {"cv": "c2", "m1": 3.0, "m2": None},
+        ]
+
+    def test_describe(self):
+        t = pa.table({"x": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())})
+        d = describe_column(t, "x")
+        assert d["count"] == 4 and d["mean"] == 2.5 and d["p50"] == 2.5
+
+    def test_render_markdown(self):
+        t = pa.table({"model": pa.array(["m1"], pa.string()), "cer": pa.array([1.5], pa.float64())})
+        md = render_markdown_report("Report", [("Summary", t)])
+        assert "# Report" in md and "| model | cer |" in md and "1.5000" in md
+
+
+class TestCsvSource:
+    def test_nonempty_filter(self, tmp_path):
+        p = tmp_path / "metadata.csv"
+        p.write_text("filename,language\ncv001.pdf,fr\n  ,en\ncv002.docx,ar\n")
+        ds = read_metadata_csv(str(p))
+        rows = ds.take_all()
+        # row order across blocks is not guaranteed — compare as a set
+        assert sorted(r["filename"] for r in rows) == ["cv001.pdf", "cv002.docx"]
+
+
+class TestEmbeddingDupes:
+    def test_finds_planted_dupes(self):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((50, 16)).astype(np.float32)
+        # plant near-duplicates: rows 50..54 ≈ rows 0..4
+        dup = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+        m = np.vstack([base, dup])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(55), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in m], pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        pairs = embedding_dupe_pairs(ds, threshold=0.98, num_partitions=4).take_all()
+        found = {(p["vec_a"], p["vec_b"]) for p in pairs}
+        planted = {(i, 50 + i) for i in range(5)}
+        # LSH is approximate: require most planted pairs found, no junk pairs
+        assert len(found & planted) >= 3
+        assert all(p["cosine_sim"] >= 0.98 for p in pairs)
