@@ -1,0 +1,84 @@
+"""Job entry point — ``ray job submit -- python -m ocr_endpoint_project_ray.run ...``.
+
+Runs the extraction pipeline over an interleaved-document corpus with
+manifest-checkpointed, resumable output: each input shard (file) becomes one
+output partition; a re-submitted job skips partitions the manifest marks
+done, so a failed 100 TB run resumes from the gap instead of the start
+(SURVEY.md §4 checkpoint/resume; the reference's analogue is append-only
+SQLite + latest-snapshot dedup).
+
+Owns its Ray session (guarded init) — unlike the library, which never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import pyarrow as pa
+
+import ray
+
+
+def _input_shards(path: str) -> list[str]:
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if shards:
+            return shards
+    return [path]
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ocr_endpoint_project_ray.run")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run the extraction pipeline, resumable")
+    ex.add_argument("--input", required=True, help="corpus dir or parquet file (doc_id, spans)")
+    ex.add_argument("--output", required=True, help="output dir (partitioned parquet + _manifest)")
+    ex.add_argument("--num-partitions", type=int, default=None)
+    ex.add_argument("--no-salt", action="store_true")
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--shards-per-partition", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False)
+
+    from .pipelines.extraction import extract_documents
+    from .sources.tables import read_docs
+    from .state.manifest import manifest_metrics, run_partitioned
+
+    shards = _input_shards(args.input)
+    groups = [
+        shards[i : i + args.shards_per_partition]
+        for i in range(0, len(shards), args.shards_per_partition)
+    ]
+
+    def process_one(group: list[str]) -> pa.Table:
+        ds = read_docs(group[0]) if len(group) == 1 else read_docs(os.path.commonpath(group))
+        out = extract_documents(
+            ds, num_partitions=args.num_partitions, salted=not args.no_salt
+        )
+        return pa.Table.from_pylist(out.take_all())
+
+    t0 = time.time()
+    results = run_partitioned(groups, args.output, process_one, resume=not args.no_resume)
+    metrics = manifest_metrics(args.output)
+    summary = {
+        "partitions": len(results),
+        "skipped": sum(1 for r in results if r.skipped),
+        "rows_out": int(sum(r.rows_out for r in results)),
+        "wall_sec": round(time.time() - t0, 2),
+        "manifest_rows": metrics.num_rows,
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
