@@ -29,9 +29,15 @@ def normalize_words(text: str) -> list[str]:
 
 
 def normalize_text_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Vectorized: lowercase + punctuation→space + whitespace-collapse."""
+    """Vectorized: lowercase + punctuation→space + whitespace-collapse.
+
+    Must agree with :func:`normalize_words` (Python ``re``): Python's ``\\w``
+    is Unicode (letters ∪ numbers ∪ '_'), but RE2's ``\\w`` is ASCII-only —
+    using it here would strip Arabic/accented text (the reference corpus is
+    fr/en/ar). Spell the classes out for RE2.
+    """
     lowered = pc.utf8_lower(arr)
-    no_punct = pc.replace_substring_regex(lowered, r"[^\w\s]", " ")
+    no_punct = pc.replace_substring_regex(lowered, r"[^\p{L}\p{N}_\s]", " ")
     collapsed = pc.replace_substring_regex(no_punct, r"\s+", " ")
     return pc.utf8_trim_whitespace(collapsed)
 

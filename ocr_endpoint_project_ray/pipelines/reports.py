@@ -165,6 +165,34 @@ def render_markdown_report(
     return "\n".join(lines)
 
 
+def export_tables(
+    tables: dict[str, pa.Table], out_dir: str, *, title: str = "Benchmark report"
+) -> dict[str, str]:
+    """Export sinks (≙ S8, scripts/export_benchmark_results.py:239-307):
+    CSV + JSON snapshot per table plus one combined markdown report.
+    Driver-side — inputs are small aggregates."""
+    import json
+    import os
+
+    import pyarrow.csv as pacsv
+
+    os.makedirs(out_dir, exist_ok=True)
+    written: dict[str, str] = {}
+    for name, table in tables.items():
+        csv_path = os.path.join(out_dir, f"{name}.csv")
+        pacsv.write_csv(table, csv_path)
+        written[f"{name}.csv"] = csv_path
+        json_path = os.path.join(out_dir, f"{name}.json")
+        with open(json_path, "w") as f:
+            json.dump(table.to_pylist(), f, default=str)
+        written[f"{name}.json"] = json_path
+    md_path = os.path.join(out_dir, "report.md")
+    with open(md_path, "w") as f:
+        f.write(render_markdown_report(title, sorted(tables.items())))
+    written["report.md"] = md_path
+    return written
+
+
 def recommend_best(
     table: pa.Table, sort_spec: list[tuple[str, str]], *, tiebreak: str | None = None
 ) -> pa.Table:

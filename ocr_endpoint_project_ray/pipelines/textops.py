@@ -155,6 +155,23 @@ def q22_recommend_source(sf_dir: str) -> pa.Table:
     )
 
 
+def q26_decision_scores(sf_dir: str) -> pa.Table:
+    """Min-max-normalized weighted scorecard (≙ R5,
+    generate_decision_report.py:70-76,158-200): per-source criteria scaled to
+    [0,1] then weighted-summed. Operation order mirrors the SQL oracle so the
+    doubles are bit-identical."""
+    from .reports import minmax_normalize, weighted_score
+
+    stats = _source_stats(sf_dir)
+    normed = minmax_normalize(stats, ["avg_chars", "n_docs"])
+    scored = weighted_score(
+        normed, {"avg_chars_norm": 0.6, "n_docs_norm": 0.4}, out="decision_score"
+    )
+    return pa.table(
+        {"source": scored.column("source"), "decision_score": scored.column("decision_score")}
+    )
+
+
 def q23_ann_topk(sf_dir: str) -> ray.data.Dataset:
     """Brute-force cosine top-5: queries = vec_id < 8, corpus = vec_id >= 8."""
     queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -243,6 +260,19 @@ TEXT_ORACLES: dict[str, str] = {
                    FROM documents GROUP BY source)
         SELECT source, ac AS avg_chars FROM s
         ORDER BY ac DESC, nd DESC, source ASC LIMIT 1
+    """,
+    "q26_decision_scores": """
+        WITH s AS (SELECT source, avg(n_chars) AS ac, count(*) AS nd
+                   FROM documents GROUP BY source),
+             m AS (SELECT min(ac) AS mna, max(ac) AS mxa,
+                          min(nd) AS mnn, max(nd) AS mxn FROM s)
+        SELECT source,
+               0.6 * (CASE WHEN mxa = mna THEN 1.0
+                           ELSE (ac - mna) / (mxa - mna) END)
+             + 0.4 * (CASE WHEN mxn = mnn THEN 1.0
+                           ELSE (nd - mnn) * 1.0 / (mxn - mnn) END)
+                   AS decision_score
+        FROM s CROSS JOIN m
     """,
     "q23_ann_topk": """
         WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -356,6 +386,7 @@ TEXT_QUERIES = {
     "q21_condorcet_sources": q21_condorcet_sources,
     "q22_recommend_source": q22_recommend_source,
     "q23_ann_topk": q23_ann_topk,
+    "q26_decision_scores": q26_decision_scores,
     "x_langid": x_langid,
     "x_simhash": x_simhash,
     "x_rolling_fingerprint": x_rolling_fingerprint,

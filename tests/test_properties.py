@@ -1,0 +1,153 @@
+"""Property tests (SURVEY.md §5): order invariance under repartition,
+aggregation correctness vs a pandas oracle, metric implementations vs naive
+reference implementations."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+from ocr_endpoint_project_ray.functions.agg import Agg, grouped_agg
+from ocr_endpoint_project_ray.functions.metrics import edit_distance
+from ocr_endpoint_project_ray.functions.text import normalize_text_array, normalize_words
+from ocr_endpoint_project_ray.stages.extract import explode_spans, reassemble_spans
+from ocr_endpoint_project_ray.schema import SPAN_STRUCT
+
+
+def _naive_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=30), st.text(max_size=30))
+def test_edit_distance_matches_naive(a, b):
+    assert edit_distance(list(a), list(b)) == _naive_levenshtein(a, b)
+
+
+#: Realistic corpus alphabet (ASCII + French accents + Arabic + punctuation);
+#: full-Unicode case-folding parity (e.g. 'İ') is explicitly out of scope.
+_CORPUS_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _"
+    ".,;:!?-—'\"()[]/\\\t\n"
+    "éèêàçùïöœÉÈÀÇ"
+    "العربيةنصفيهذامنإلى"
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=_CORPUS_ALPHABET, max_size=80))
+def test_normalize_array_matches_scalar(text):
+    via_array = normalize_text_array(pa.array([text])).to_pylist()[0]
+    assert via_array.split(" ") == normalize_words(text) or via_array == ""
+    # idempotent
+    assert normalize_text_array(pa.array([via_array])).to_pylist()[0] == via_array
+
+
+# Ray-backed property tests: hypothesis drives the data, one shared Ray
+# session (conftest); examples kept small so the suite stays fast.
+_ray_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@_ray_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-100, 100, allow_nan=False)), min_size=1, max_size=60
+    )
+)
+def test_grouped_agg_matches_pandas(rows):
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = pa.Table.from_pylist(
+        grouped_agg(
+            ds,
+            ["k"],
+            [Agg("s", "v", "sum"), Agg("n", "v", "count_rows"), Agg("mn", "v", "min")],
+            num_partitions=4,
+        ).take_all()
+    ).to_pandas().sort_values("k", ignore_index=True)
+    ref = (
+        df.groupby("k")["v"].agg(s="sum", n="count", mn="min").reset_index()
+    ).sort_values("k", ignore_index=True)
+    assert list(out["k"]) == list(ref["k"])
+    assert list(out["n"]) == list(ref["n"])
+    assert out["s"].tolist() == pytest.approx(ref["s"].tolist())
+    assert out["mn"].tolist() == pytest.approx(ref["mn"].tolist())
+
+
+@_ray_settings
+@given(seed=st.integers(0, 10_000), salted=st.booleans())
+def test_reassembly_order_invariant_under_permutation(seed, salted):
+    """Shuffling input span rows arbitrarily must not change reassembled
+    documents — order lives in `offset`, not in block order."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(1, 6))
+    rows = []
+    for d in range(n_docs):
+        n_spans = int(rng.integers(1, 12))
+        for o in range(n_spans):
+            rows.append(
+                {
+                    "doc_id": f"doc{d}",
+                    "salt": o // 4,
+                    "offset": o,
+                    "kind": "text",
+                    "text": f"d{d}s{o}",
+                    "media_ref": "",
+                }
+            )
+    perm = rng.permutation(len(rows))
+    shuffled = [rows[i] for i in perm]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in shuffled], pa.string()),
+            "salt": pa.array([r["salt"] for r in shuffled], pa.int32()),
+            "offset": pa.array([r["offset"] for r in shuffled], pa.int32()),
+            "kind": pa.array([r["kind"] for r in shuffled], pa.string()),
+            "text": pa.array([r["text"] for r in shuffled], pa.string()),
+            "media_ref": pa.array([r["media_ref"] for r in shuffled], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = reassemble_spans(ds, num_partitions=4, salted=salted).take_all()
+    assert len(out) == n_docs
+    for row in out:
+        offsets = [s["offset"] for s in row["spans"]]
+        assert offsets == sorted(offsets)
+        d = int(row["doc_id"][3:])
+        assert [s["text"] for s in row["spans"]] == [f"d{d}s{o}" for o in offsets]
+
+
+def test_explode_roundtrip():
+    """explode(reassemble(x)) == x for a well-formed flat span table."""
+    spans = [
+        {"kind": "text", "text": "a", "media_ref": "", "offset": 0},
+        {"kind": "html", "text": "<p>b</p>", "media_ref": "", "offset": 1},
+        {"kind": "image_ref", "text": "", "media_ref": "m://x", "offset": 2},
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["d1"], pa.string()),
+            "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+        }
+    )
+    flat = explode_spans(docs)
+    assert flat.num_rows == 3
+    back = reassemble_spans(ray.data.from_arrow(flat), num_partitions=2).take_all()
+    assert back[0]["spans"] == spans
