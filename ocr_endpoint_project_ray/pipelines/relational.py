@@ -302,6 +302,50 @@ def q25_user_sessions(sf_dir: str) -> ray.data.Dataset:
     return sessionize(ds)
 
 
+def q27_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Large×large distributed hash join (lineitem ⋈ orders on orderkey) +
+    grouped aggregate — the fact-to-fact join path (Dataset.join)."""
+    from ..context import default_num_partitions
+    from ..functions.join import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def _open(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderstatus"), "O")).drop_columns(["o_orderstatus"])
+
+    orders_o = orders.map_batches(_open, batch_size=None, batch_format="pyarrow")
+    n = min(default_num_partitions(per_cpu=1), 16)
+    joined = hash_join(li, orders_o, on="l_orderkey", right_on="o_orderkey", num_partitions=n)
+
+    def _disc(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"), pc.subtract(1.0, b.column("l_discount")))
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"), "rev": rev})
+
+    revs = joined.map_batches(_disc, batch_size=None, batch_format="pyarrow")
+    out = grouped_agg(revs, ["o_orderpriority"], [Agg("revenue", "rev", "sum"),
+                                                  Agg("n_items", "rev", "count_rows")])
+    return round_columns(out, ["revenue"], 4)
+
+
+def q28_purchase_last_view(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (custom operator, stages/asof.py): for each purchase event,
+    the latest view by the same user at or before the purchase time."""
+    from ..stages.asof import asof_join_latest_ts
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _of(kind):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), kind)).drop_columns(["event_type"])
+
+        return _f
+
+    purchases = ev.map_batches(_of("purchase"), batch_size=None, batch_format="pyarrow")
+    views = ev.map_batches(_of("view"), batch_size=None, batch_format="pyarrow")
+    return asof_join_latest_ts(purchases, views, key="user_id", out_col="last_view_ts")
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -377,6 +421,20 @@ RELATIONAL_ORACLES: dict[str, str] = {
                      (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
         FROM supplier
     """,
+    "q27_priority_revenue": """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+    "q28_purchase_last_view": """
+        SELECT p.user_id, p.event_id, v.ts AS last_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
     "q25_user_sessions": """
         WITH o AS (
             SELECT user_id, ts, value, event_id,
@@ -411,4 +469,6 @@ RELATIONAL_QUERIES = {
     "q12_high_value_rate": q12_high_value_rate,
     "q13_minmax_suppliers": q13_minmax_suppliers,
     "q25_user_sessions": q25_user_sessions,
+    "q27_priority_revenue": q27_priority_revenue,
+    "q28_purchase_last_view": q28_purchase_last_view,
 }
