@@ -155,6 +155,31 @@ def q22_recommend_source(sf_dir: str) -> pa.Table:
     )
 
 
+def q29_hash_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic content-hash sampling (~1/16 of docs): the reproducible
+    alternative to random sampling for training-data splits — the same doc
+    always lands in the same split, on any cluster, any run."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _sample(b: pa.Table) -> pa.Table:
+        fps = md5_hex_batch(b.column("text"))
+        mask = pc.equal(pc.utf8_slice_codeunits(fps, 0, 1), "0")
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "lang": b.column("lang")}
+        ).filter(mask)
+
+    return ds.map_batches(_sample, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q30_distinct_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (lang, source) pairs — dataset-level dedup via keyed
+    first-of-run (no full sort)."""
+    from ..stages.dedup import keyed_latest
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+    return keyed_latest(ds, ["lang", "source"], [])
+
+
 def q26_decision_scores(sf_dir: str) -> pa.Table:
     """Min-max-normalized weighted scorecard (≙ R5,
     generate_decision_report.py:70-76,158-200): per-source criteria scaled to
@@ -260,6 +285,12 @@ TEXT_ORACLES: dict[str, str] = {
                    FROM documents GROUP BY source)
         SELECT source, ac AS avg_chars FROM s
         ORDER BY ac DESC, nd DESC, source ASC LIMIT 1
+    """,
+    "q29_hash_sample": """
+        SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 1) = '0'
+    """,
+    "q30_distinct_pairs": """
+        SELECT DISTINCT lang, source FROM documents
     """,
     "q26_decision_scores": """
         WITH s AS (SELECT source, avg(n_chars) AS ac, count(*) AS nd
@@ -387,6 +418,8 @@ TEXT_QUERIES = {
     "q22_recommend_source": q22_recommend_source,
     "q23_ann_topk": q23_ann_topk,
     "q26_decision_scores": q26_decision_scores,
+    "q29_hash_sample": q29_hash_sample,
+    "q30_distinct_pairs": q30_distinct_pairs,
     "x_langid": x_langid,
     "x_simhash": x_simhash,
     "x_rolling_fingerprint": x_rolling_fingerprint,
