@@ -134,6 +134,40 @@ def test_reassembly_order_invariant_under_permutation(seed, salted):
         assert [s["text"] for s in row["spans"]] == [f"d{d}s{o}" for o in offsets]
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<p>{t}</p>",
+                "<div>{t}</div>",
+                "<nav><a href='/'>{t}</a></nav>",
+                "<ul><li><a href='/x'>{t}</a></li></ul>",
+                "<footer>{t}</footer>",
+                "{t}",
+                "<h2>{t}</h2>",
+                "<!-- {t} -->",
+                "<br/>",
+                "<p>unclosed {t}",
+            ]
+        ),
+        max_size=8,
+    ),
+    st.lists(st.text(alphabet="abcdef ghij.&k", min_size=0, max_size=30), max_size=8),
+)
+def test_strip_fast_matches_reference(templates, texts):
+    from ocr_endpoint_project_ray.functions.html import (
+        strip_boilerplate,
+        strip_boilerplate_reference,
+    )
+
+    html = "".join(
+        tpl.format(t=texts[i % len(texts)] if texts else "filler text")
+        for i, tpl in enumerate(templates)
+    )
+    assert strip_boilerplate(html) == strip_boilerplate_reference(html)
+
+
 def test_explode_roundtrip():
     """explode(reassemble(x)) == x for a well-formed flat span table."""
     spans = [
