@@ -155,6 +155,40 @@ def q22_recommend_source(sf_dir: str) -> pa.Table:
     )
 
 
+def q31_bpe_tokens(sf_dir: str) -> ray.data.Dataset:
+    """BPE-style pre-tokenizer counts (letter runs / digit runs / single
+    symbols) — the model-free proxy for token budgeting, vectorized."""
+    from ..functions.text import count_tokens_bpe
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_bpe_tokens": pc.cast(count_tokens_bpe(b.column("text")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_tok, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q32_parse_error_categories(sf_dir: str) -> ray.data.Dataset:
+    """Error-category counts over the structured-parse run log
+    (≙ M15 categorize + A5 grouped counts)."""
+    from ..functions.agg import Agg, grouped_agg
+    from ..stages.validate import categorize_errors
+    from .structured import structured_parse_pipeline
+
+    parsed = structured_parse_pipeline(sf_dir)
+    cats = parsed.map_batches(
+        categorize_errors, batch_size=None, batch_format="pyarrow"
+    ).select_columns(["error_category"])
+    return grouped_agg(
+        cats, ["error_category"], [Agg("n_docs", "error_category", "count_rows")]
+    )
+
+
 def q29_hash_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic content-hash sampling (~1/16 of docs): the reproducible
     alternative to random sampling for training-data splits — the same doc
@@ -286,6 +320,18 @@ TEXT_ORACLES: dict[str, str] = {
         SELECT source, ac AS avg_chars FROM s
         ORDER BY ac DESC, nd DESC, source ASC LIMIT 1
     """,
+    "q31_bpe_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+    "q32_parse_error_categories": """
+        SELECT CASE WHEN doc_id % 4 = 3 THEN 'invalid_json' ELSE 'none' END
+                   AS error_category,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
     "q29_hash_sample": """
         SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 1) = '0'
     """,
@@ -381,6 +427,23 @@ def x_embed_dupes(sf_dir: str) -> ray.data.Dataset:
     return embedding_dupe_pairs(corpus, threshold=0.9)
 
 
+def x_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF-bucketed approximate ANN (kmeans coarse quantizer, n_probe clusters)."""
+    from ..stages.ann import ann_topk_ivf
+
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = queries.filter(pc.less(queries.column("vec_id"), 8))
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _corpus_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("vec_id"), 8))
+
+    corpus = corpus.map_batches(
+        _corpus_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ann_topk_ivf(corpus, queries, k=5)
+
+
 def x_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthesize media refs → fake payloads →
     actor-pool decode/feature stage (stubbed decode, real Ray plumbing)."""
@@ -419,12 +482,15 @@ TEXT_QUERIES = {
     "q23_ann_topk": q23_ann_topk,
     "q26_decision_scores": q26_decision_scores,
     "q29_hash_sample": q29_hash_sample,
+    "q31_bpe_tokens": q31_bpe_tokens,
+    "q32_parse_error_categories": q32_parse_error_categories,
     "q30_distinct_pairs": q30_distinct_pairs,
     "x_langid": x_langid,
     "x_simhash": x_simhash,
     "x_rolling_fingerprint": x_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,
     "x_ann_lsh": x_ann_lsh,
+    "x_ann_ivf": x_ann_ivf,
     "x_media_features": x_media_features,
     "x_embed_dupes": x_embed_dupes,
 }

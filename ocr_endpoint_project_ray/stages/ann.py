@@ -134,6 +134,100 @@ def ann_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: ray.data.Dataset,
+    *,
+    n_centroids: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    seed: int = 5,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded sample (driver-side — the
+    sample is small by construction; at 10^12 rows you train on a sample
+    anyway). Deterministic: fixed seed, fixed iteration count."""
+    sample = corpus.limit(sample_rows).take_all()
+    m = _l2norm(
+        np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    )
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _l2norm(centroids)
+    return centroids
+
+
+def ann_topk_ivf(
+    corpus: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """IVF variant: each corpus row is scored only against queries whose
+    ``n_probe`` nearest centroids include the row's centroid. Same output
+    schema as :func:`ann_topk`; recall < 1 by construction (raise
+    ``n_probe`` toward ``n_centroids`` to converge on exact)."""
+    centroids = train_ivf_centroids(corpus, n_centroids=n_centroids)
+    q_m = _l2norm(_to_matrix(queries.column("embedding")))
+    qids = np.asarray(queries.column("vec_id").to_pylist(), dtype=np.int64)
+    # per centroid: the queries probing it
+    probe = np.argsort(-(q_m @ centroids.T), axis=1)[:, :n_probe]
+    by_centroid: dict[int, list[int]] = {}
+    for qi, cents in enumerate(probe):
+        for c in cents:
+            by_centroid.setdefault(int(c), []).append(qi)
+    ref = ray.put((centroids, by_centroid, q_m, qids))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        cents, by_cent, qm, qv = ray.get(ref)
+        m = _l2norm(_to_matrix(batch.column("embedding")))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        assign = (m @ cents.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(assign):
+            q_idx = by_cent.get(int(c))
+            if not q_idx:
+                continue
+            rows = np.nonzero(assign == c)[0]
+            sims = qm[q_idx] @ m[rows].T
+            for pos, qi in enumerate(q_idx):
+                out_q.extend([qv[qi]] * len(rows))
+                out_n.extend(ids[rows])
+                out_s.extend(sims[pos])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    from ..context import default_num_partitions
+
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 8)
+    candidates = corpus.map_batches(_score, batch_format="pyarrow", batch_size=4096)
+    co = candidates.repartition(num_blocks=n, keys=["query_id"])
+    return co.map_batches(
+        _topk_per_query, batch_size=None, batch_format="pyarrow", fn_kwargs={"k": k}
+    )
+
+
 def embedding_dupe_pairs(
     corpus: ray.data.Dataset,
     *,

@@ -1,0 +1,72 @@
+"""ANN variants: exact brute force vs LSH and IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ocr_endpoint_project_ray.stages.ann import ann_topk, ann_topk_ivf, ann_topk_lsh
+
+
+def _make(n=200, dim=16, n_q=4, seed=1):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m], pa.list_(pa.float32())),
+        }
+    )
+    queries = tbl.slice(0, n_q)
+    corpus = tbl.slice(n_q)
+    return queries, corpus
+
+
+def _topk_map(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    return {q: [n for _, n in sorted(v)] for q, v in out.items()}
+
+
+def test_brute_force_matches_numpy():
+    queries, corpus = _make()
+    got = _topk_map(ann_topk(ray.data.from_arrow(corpus), queries, k=5, num_partitions=4).take_all())
+    q = np.asarray([r["embedding"] for r in queries.to_pylist()], dtype=np.float64)
+    c = np.asarray([r["embedding"] for r in corpus.to_pylist()], dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    sims = q @ c.T
+    ids = np.asarray([r["vec_id"] for r in corpus.to_pylist()])
+    for qi, qid in enumerate(r["vec_id"] for r in queries.to_pylist()):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        assert got[qid] == list(ids[order])
+
+
+def test_ivf_recall_reasonable_and_exact_at_full_probe():
+    queries, corpus = _make(n=300)
+    ds = ray.data.from_arrow(corpus)
+    exact = _topk_map(ann_topk(ds, queries, k=5, num_partitions=4).take_all())
+    # full probe == exact search (every query probes every centroid)
+    full = _topk_map(
+        ann_topk_ivf(ds, queries, k=5, n_centroids=8, n_probe=8, num_partitions=4).take_all()
+    )
+    assert full == exact
+    # partial probe: top-1 recall should be decent
+    approx = _topk_map(
+        ann_topk_ivf(ds, queries, k=5, n_centroids=8, n_probe=3, num_partitions=4).take_all()
+    )
+    hits = sum(1 for q in exact if q in approx and approx[q] and approx[q][0] == exact[q][0])
+    assert hits >= len(exact) // 2
+
+
+def test_lsh_returns_subset_of_corpus():
+    queries, corpus = _make(n=150)
+    rows = ann_topk_lsh(
+        ray.data.from_arrow(corpus), queries, k=5, n_planes=4, num_partitions=4
+    ).take_all()
+    corpus_ids = {r["vec_id"] for r in corpus.to_pylist()}
+    assert all(r["neighbor_id"] in corpus_ids for r in rows)
+    assert all(1 <= r["rank"] <= 5 for r in rows)
