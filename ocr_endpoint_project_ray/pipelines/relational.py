@@ -80,17 +80,22 @@ def q01_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 
 def q02_revenue_filter(sf_dir: str) -> ray.data.Dataset:
-    """Selective filter + global sum (≙ F1 + single aggregate)."""
-    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+    """Selective filter + global sum (≙ F1 + single aggregate). The
+    predicate is PUSHED INTO THE SCAN (pyarrow dataset expression): row
+    groups that can't match never leave storage."""
+    import pyarrow.dataset as pads
 
-    def _mask(b: pa.Table):
-        d = b.column("l_discount")
-        return pc.and_(
-            pc.and_(pc.greater_equal(d, 0.05), pc.less_equal(d, 0.07)),
-            pc.less(b.column("l_quantity"), 24.0),
-        )
-
-    filt = _mask_filter(ds, _mask)
+    expr = (
+        (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24.0)
+    )
+    filt = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=expr,
+    )
 
     def _rev(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -444,6 +444,27 @@ def x_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_topk_ivf(corpus, queries, k=5)
 
 
+def x_minhash_groups(sf_dir: str) -> pa.Table:
+    """Near-dup clusters: MinHash+LSH candidate pairs → Jaccard verify →
+    connected components (doc_id, cluster)."""
+    from ..stages.dedup import dup_groups_from_pairs
+
+    pairs_ds = x_minhash_pairs(sf_dir)
+    pairs = pa.Table.from_pylist(pairs_ds.take_all())
+    if pairs.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+    return dup_groups_from_pairs(pairs)
+
+
+def x_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """HLL approximate distinct user_id per event_type (mergeable-sketch
+    aggregation — fixed-size registers shuffle instead of values)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(ds, ["event_type"], "user_id")
+
+
 def x_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthesize media refs → fake payloads →
     actor-pool decode/feature stage (stubbed decode, real Ray plumbing)."""
@@ -493,4 +514,6 @@ TEXT_QUERIES = {
     "x_ann_ivf": x_ann_ivf,
     "x_media_features": x_media_features,
     "x_embed_dupes": x_embed_dupes,
+    "x_minhash_groups": x_minhash_groups,
+    "x_approx_distinct_users": x_approx_distinct_users,
 }

@@ -20,9 +20,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Read one of the benchmark tables with projection pushdown."""
-    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    filter=None,  # noqa: A002 - pyarrow dataset expression
+) -> ray.data.Dataset:
+    """Read one of the benchmark tables with projection pushdown and
+    (optionally) a pyarrow expression row filter pushed into the scan —
+    row groups that can't match never leave storage."""
+    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns, filter=filter)
 
 
 def read_metadata_csv(path: str, *, key_col: str = "filename") -> ray.data.Dataset:

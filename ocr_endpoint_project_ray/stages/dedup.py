@@ -308,6 +308,44 @@ def minhash_lsh_pairs(
     return uniq
 
 
+def dup_groups_from_pairs(pairs: pa.Table, *, id_cols: tuple[str, str] = ("doc_a", "doc_b")) -> pa.Table:
+    """Near-dup pair list → connected-component cluster labels
+    (doc_id, cluster = min doc_id in component).
+
+    Driver-side union-find: the verified-pair set is orders of magnitude
+    smaller than the corpus (it only contains near-dups), so collecting it is
+    bounded. Scale path when even pairs don't fit: iterate min-label
+    propagation as keyed joins (label(doc) = min(label(doc), min over
+    neighbors) until fixpoint) — same result, log-diameter rounds.
+    """
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    a_col, b_col = id_cols
+    for a, b in zip(pairs.column(a_col).to_pylist(), pairs.column(b_col).to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    members = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(members),
+            "cluster": pa.array([find(m) for m in members]),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
