@@ -189,6 +189,51 @@ def q32_parse_error_categories(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q33_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Training-corpus quality filter (C4/CCNet-style rule stack): token
+    bounds, alphabetic-density floor, word-diversity floor; emits keep +
+    first-failing reason per doc (filtering as data, nothing silently
+    dropped)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _filter(b: pa.Table) -> pa.Table:
+        n_tok = pc.cast(count_tokens_ws(b.column("text")), pa.float64())
+        feats = quality_features(b.column("text"))
+        # distinct-word ratio, matching len(list_distinct(split))/len(split)
+        texts = b.column("text").to_pylist()
+        dwr = []
+        for t, nt in zip(texts, n_tok.to_pylist()):
+            words = (t or "").split()
+            dwr.append(len(set(words)) / len(words) if words else 0.0)
+        dwr_arr = pa.array(dwr, pa.float64())
+
+        reason = pa.array([None] * b.num_rows, pa.string())
+        too_short = pc.less(n_tok, 10.0)
+        low_alpha = pc.less(feats["alpha_ratio"], 0.5)
+        low_diversity = pc.less(dwr_arr, 0.3)
+        # precedence: too_short > low_alpha > low_diversity (CASE order)
+        reason = pc.if_else(
+            pc.and_(too_short, pc.is_null(reason)), pa.scalar("too_short"), reason
+        )
+        reason = pc.if_else(
+            pc.and_(low_alpha, pc.is_null(reason)), pa.scalar("low_alpha"), reason
+        )
+        reason = pc.if_else(
+            pc.and_(low_diversity, pc.is_null(reason)), pa.scalar("low_diversity"), reason
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "distinct_word_ratio": dwr_arr,
+                "keep": pc.is_null(reason),
+                "reject_reason": reason,
+            }
+        )
+
+    return ds.map_batches(_filter, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q29_hash_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic content-hash sampling (~1/16 of docs): the reproducible
     alternative to random sampling for training-data splits — the same doc
@@ -331,6 +376,27 @@ TEXT_ORACLES: dict[str, str] = {
                    AS error_category,
                count(*) AS n_docs
         FROM documents GROUP BY 1
+    """,
+    "q33_quality_filter": """
+        WITH f AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                             / length(text) END AS alpha_ratio,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+                             / len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS distinct_word_ratio
+            FROM documents)
+        SELECT doc_id, n_tokens, distinct_word_ratio,
+               (n_tokens >= 10 AND alpha_ratio >= 0.5 AND distinct_word_ratio >= 0.3) AS keep,
+               CASE WHEN n_tokens < 10 THEN 'too_short'
+                    WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                    WHEN distinct_word_ratio < 0.3 THEN 'low_diversity'
+                    ELSE NULL END AS reject_reason
+        FROM f
     """,
     "q29_hash_sample": """
         SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 1) = '0'
@@ -504,6 +570,7 @@ TEXT_QUERIES = {
     "q26_decision_scores": q26_decision_scores,
     "q29_hash_sample": q29_hash_sample,
     "q31_bpe_tokens": q31_bpe_tokens,
+    "q33_quality_filter": q33_quality_filter,
     "q32_parse_error_categories": q32_parse_error_categories,
     "q30_distinct_pairs": q30_distinct_pairs,
     "x_langid": x_langid,
