@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions.agg import Agg, grouped_agg, py_round_array, round_columns
+from ..functions.agg import Agg, grouped_agg, round_columns
 from ..functions.join import broadcast_join
 from ..sources.tables import read_table
 from ..stages.dedup import keyed_latest

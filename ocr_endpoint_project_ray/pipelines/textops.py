@@ -12,7 +12,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..functions.agg import Agg, grouped_agg, py_round_array, round_columns
+from ..functions.agg import Agg, grouped_agg
 from ..functions.metrics import edit_distance
 from ..functions.text import (
     count_tokens_ws,
