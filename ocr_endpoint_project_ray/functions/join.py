@@ -34,18 +34,28 @@ class _BroadcastJoiner:
         self._maps = {
             c: pd.Series(small.column(c).to_pandas().values, index=keys) for c in value_cols
         }
+        self._types = {c: small.schema.field(c).type for c in value_cols}
         self._key_set = set(keys)
         self._left_on = left_on
         self._how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self._left_on).to_pandas()
+        if self._how == "inner":
+            # filter FIRST so every mapped key hits — no NaN fill, and the
+            # appended columns keep the small side's exact Arrow type in
+            # every block (pandas .map would silently promote int64→float64
+            # in blocks containing misses, yielding inconsistent schemas)
+            mask = keys.isin(self._key_set).values
+            batch = batch.filter(pa.array(mask))
+            keys = keys[mask]
         for c, mapping in self._maps.items():
             mapped = keys.map(mapping)
-            batch = batch.append_column(c, pa.Array.from_pandas(mapped))
-        if self._how == "inner":
-            mask = pa.array(keys.isin(self._key_set).values)
-            batch = batch.filter(mask)
+            if self._how == "left":
+                values = [None if pd.isna(v) else v for v in mapped]
+            else:
+                values = mapped.tolist()
+            batch = batch.append_column(c, pa.array(values, type=self._types[c]))
         return batch
 
 

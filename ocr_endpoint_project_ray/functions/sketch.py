@@ -114,37 +114,51 @@ def approx_distinct(
     repartition of the fixed-size sketches → per-block merge + estimate."""
     n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
 
-    def _sketch_batch(batch: pa.Table) -> pa.Table:
+    def _key_arrays(rows_keys: list[tuple], schema: pa.Schema) -> dict[str, pa.Array]:
         import pandas as pd
 
+        # pandas groupby(dropna=False) represents null keys as NaN — convert
+        # back to None and pin the original Arrow type
+        return {
+            k: pa.array(
+                [None if pd.isna(r[i]) else r[i] for r in rows_keys],
+                type=schema.field(k).type,
+            )
+            for i, k in enumerate(keys)
+        }
+
+    def _sketch_batch(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + [value_col]).to_pandas()
         rows_keys: list[tuple] = []
         rows_sk: list[bytes] = []
-        for kv, grp in df.groupby(keys, sort=False):
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             rows_keys.append(kv)
             rows_sk.append(HllSketch(p).update(grp[value_col].tolist()).serialize())
-        cols = {k: pa.array([r[i] for r in rows_keys]) for i, k in enumerate(keys)}
+        cols = _key_arrays(rows_keys, batch.schema)
         cols["__sketch"] = pa.array(rows_sk, pa.large_binary())
         return pa.table(cols)
 
     def _merge_block(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         if batch.num_rows == 0:
-            cols = {k: pa.array([]) for k in keys}
+            cols = {
+                k: pa.array([], type=batch.schema.field(k).type)
+                if k in batch.schema.names
+                else pa.array([])
+                for k in keys
+            }
             cols[out] = pa.array([], pa.int64())
             return pa.table(cols)
         df = batch.to_pandas()
         rows_keys, rows_est = [], []
-        for kv, grp in df.groupby(keys, sort=False):
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             sk = HllSketch.deserialize(grp["__sketch"].iloc[0])
             for s in grp["__sketch"].iloc[1:]:
                 sk.merge(HllSketch.deserialize(s))
             rows_keys.append(kv)
             rows_est.append(int(round(sk.estimate())))
-        cols = {k: pa.array([r[i] for r in rows_keys]) for i, k in enumerate(keys)}
+        cols = _key_arrays(rows_keys, batch.schema)
         cols[out] = pa.array(rows_est, pa.int64())
         return pa.table(cols)
 

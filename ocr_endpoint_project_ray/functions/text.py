@@ -163,12 +163,13 @@ def rolling_fingerprint(text: str, window: int = 16) -> int:
     pows = np.array(
         [pow(int(_ROLL_BASE), i, 2**64) for i in range(window)], dtype=np.uint64
     )
-    n = len(arr) - window + 1
-    # windowed dot product via strided view (vectorized, no per-window loop)
+    # windowed dot product via strided view (vectorized, no per-window loop);
+    # XOR over ALL windows — truncating would make long documents sharing a
+    # prefix collide
     with np.errstate(over="ignore"):
         windows = np.lib.stride_tricks.sliding_window_view(arr, window)
         hashes = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
-    acc = np.bitwise_xor.reduce(hashes[: min(n, 4096)])
+    acc = np.bitwise_xor.reduce(hashes)
     return int(acc.astype(np.int64))
 
 

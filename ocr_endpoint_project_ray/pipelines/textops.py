@@ -100,7 +100,14 @@ def q19_cer_scores(sf_dir: str) -> ray.data.Dataset:
 
     def _cer(b: pa.Table) -> pa.Table:
         prefix = pc.utf8_slice_codeunits(b.column("text"), 0, 256)
-        gt_arr = normalize_text_array(prefix)
+        # ASCII normalization to mirror the SQL oracle's '[^a-z0-9_ ]'
+        # exactly (the engine's general normalize_text_array keeps Unicode
+        # letters, which ANSI SQL can't express portably — this query pins
+        # the DP against DuckDB levenshtein, so both sides go ASCII)
+        lowered = pc.utf8_lower(prefix)
+        no_punct = pc.replace_substring_regex(lowered, r"[^a-z0-9_ ]", " ")
+        collapsed = pc.replace_substring_regex(no_punct, r" +", " ")
+        gt_arr = pc.utf8_trim(collapsed, " ")
         gts = gt_arr.to_pylist()
         # dist*100.0/len, in exactly this operation order — the SQL twin
         # computes levenshtein(gt,pred)*100.0/length(gt) and a different op
@@ -304,10 +311,7 @@ TEXT_ORACLES: dict[str, str] = {
         SELECT doc_id, md5(text) AS fp FROM documents
     """,
     "q16_token_counts": """
-        SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-        FROM documents
+        SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents
     """,
     "q17_doc_quality": """
         SELECT doc_id,
@@ -380,14 +384,13 @@ TEXT_ORACLES: dict[str, str] = {
     "q33_quality_filter": """
         WITH f AS (
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    CASE WHEN length(text) = 0 THEN 0.0
                         ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                              / length(text) END AS alpha_ratio,
-                   CASE WHEN trim(text) = '' THEN 0.0
-                        ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
-                             / len(regexp_split_to_array(trim(text), '\\s+')) END
+                   CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+                        ELSE len(list_distinct(regexp_extract_all(text, '\\S+'))) * 1.0
+                             / len(regexp_extract_all(text, '\\S+')) END
                        AS distinct_word_ratio
             FROM documents)
         SELECT doc_id, n_tokens, distinct_word_ratio,

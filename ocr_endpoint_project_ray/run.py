@@ -59,14 +59,32 @@ def main(argv: list[str] | None = None) -> int:
     ]
 
     def process_one(group: list[str]) -> pa.Table:
-        ds = read_docs(group[0]) if len(group) == 1 else read_docs(os.path.commonpath(group))
+        # read exactly this partition's shard files (read_parquet accepts a
+        # path list) — never the whole input directory
+        import ray.data
+
+        ds = (
+            read_docs(group[0])
+            if len(group) == 1 and not group[0].endswith(".parquet")
+            else ray.data.read_parquet(group)
+        )
         out = extract_documents(
             ds, num_partitions=args.num_partitions, salted=not args.no_salt
         )
         return pa.Table.from_pylist(out.take_all())
 
+    def rows_in_of(group: list[str]) -> int | None:
+        try:
+            import pyarrow.parquet as pq
+
+            return sum(pq.read_metadata(p).num_rows for p in group if p.endswith(".parquet"))
+        except Exception:
+            return None
+
     t0 = time.time()
-    results = run_partitioned(groups, args.output, process_one, resume=not args.no_resume)
+    results = run_partitioned(
+        groups, args.output, process_one, resume=not args.no_resume, rows_in_fn=rows_in_of
+    )
     metrics = manifest_metrics(args.output)
     summary = {
         "partitions": len(results),

@@ -31,19 +31,30 @@ from ..functions.text import jaccard, word_ngrams
 # ---------------------------------------------------------------------------
 
 
+def _null_safe_neq(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """Element-wise 'values differ' with SQL-grouping null semantics:
+    null == null, null != non-null. (Plain ``pc.not_equal`` yields null when
+    either side is null, which poisons the boolean mask.)"""
+    va = pc.is_valid(a)
+    vb = pc.is_valid(b)
+    both_valid = pc.and_(va, vb)
+    raw = pc.fill_null(pc.not_equal(a, b), False)
+    different = pc.or_(pc.xor(va, vb), pc.and_(both_valid, raw))
+    return different.to_numpy(zero_copy_only=False).astype(bool)
+
+
 def _first_per_key(batch: pa.Table, keys: list[str], order: list[tuple[str, str]]) -> pa.Table:
     if batch.num_rows == 0:
         return batch
     sort_keys = [(k, "ascending") for k in keys] + order
     batch = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
-    # boundary mask: first row of each key-run
+    # boundary mask: first row of each key-run (null keys form a group)
     n = batch.num_rows
     is_first = np.zeros(n, dtype=bool)
     is_first[0] = True
     for k in keys:
         col = batch.column(k).combine_chunks()
-        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-        is_first[1:] |= neq
+        is_first[1:] |= _null_safe_neq(col.slice(1), col.slice(0, n - 1))
     return batch.filter(pa.array(is_first))
 
 
@@ -95,15 +106,20 @@ def exact_dedup_by_content(
     """
     n = num_partitions or default_num_partitions()
 
+    def _rename(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
+        # name-based rename: pyarrow's group_by output column ORDER has
+        # changed across versions, so positional renames silently mislabel
+        return table.rename_columns([mapping.get(c, c) for c in table.column_names])
+
     def _partial(batch: pa.Table) -> pa.Table:
         gb = batch.group_by([content_col], use_threads=False)
         out = gb.aggregate([(id_col, "min"), (id_col, "count")])
-        return out.rename_columns([content_col, "__keep", "__cnt"])
+        return _rename(out, {f"{id_col}_min": "__keep", f"{id_col}_count": "__cnt"})
 
     def _final(batch: pa.Table) -> pa.Table:
         gb = batch.group_by([content_col], use_threads=False)
         out = gb.aggregate([("__keep", "min"), ("__cnt", "sum")])
-        out = out.rename_columns([content_col, id_col, "dup_count"])
+        out = _rename(out, {"__keep_min": id_col, "__cnt_sum": "dup_count"})
         return out.select([id_col, "dup_count"])
 
     partial = ds.map_batches(

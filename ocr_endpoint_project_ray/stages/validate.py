@@ -38,9 +38,17 @@ def tag_invalid_rows(
     payload_too_large (413)."""
     n = batch.num_rows
     reason = pa.array([None] * n, pa.string())
-    ext = extension_of(batch.column(filename_col))
-    bad_ext = pc.invert(pc.is_in(ext, value_set=pa.array(list(allowed))))
-    reason = pc.if_else(bad_ext, pa.scalar("unsupported_media_type"), reason)
+    fname = batch.column(filename_col)
+    # null filename first — otherwise the extension checks evaluate to null
+    # and if_else silently passes the row through as valid
+    reason = pc.if_else(pc.is_null(fname), pa.scalar("missing_filename"), reason)
+    ext = extension_of(fname)
+    bad_ext = pc.fill_null(
+        pc.invert(pc.is_in(ext, value_set=pa.array(list(allowed)))), False
+    )
+    reason = pc.if_else(
+        pc.and_(bad_ext, pc.is_null(reason)), pa.scalar("unsupported_media_type"), reason
+    )
     if payload_col is not None:
         size = pc.binary_length(batch.column(payload_col))
         empty = pc.equal(size, 0)

@@ -113,11 +113,14 @@ def run_partitioned(
     process_one: Callable[[object], pa.Table],
     *,
     resume: bool = True,
+    rows_in_fn: Callable[[object], int | None] | None = None,
 ) -> list[PartitionResult]:
     """Process ``inputs[i]`` → ``part-i.parquet``, skipping finished
     partitions when resuming. ``process_one`` typically builds and consumes a
     Ray Dataset for one input shard; partitions run sequentially here because
-    each one is internally distributed.
+    each one is internally distributed. ``rows_in_fn`` supplies the input row
+    count for the lineage record (e.g. from parquet metadata — without it the
+    manifest can only record rows_out).
     """
     done = done_partitions(out_dir) if resume else set()
     results: list[PartitionResult] = []
@@ -131,7 +134,8 @@ def run_partitioned(
             continue
         t0 = time.time()
         table = process_one(item)
-        results.append(write_partition(out_dir, i, table, started=t0))
+        rows_in = rows_in_fn(item) if rows_in_fn else None
+        results.append(write_partition(out_dir, i, table, rows_in=rows_in, started=t0))
     return results
 
 

@@ -1,0 +1,172 @@
+"""Regression tests for code-review findings: null keys in keyed dedup,
+broadcast-join type stability, null filenames, shard-group reads,
+fingerprint truncation, HLL null groups, and oracle parity on edge texts
+(whitespace-only, unicode) that the stock corpus doesn't contain."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from ocr_endpoint_project_ray.functions.join import broadcast_join
+from ocr_endpoint_project_ray.functions.sketch import approx_distinct
+from ocr_endpoint_project_ray.functions.text import rolling_fingerprint
+from ocr_endpoint_project_ray.stages.dedup import keyed_latest
+from ocr_endpoint_project_ray.stages.validate import tag_invalid_rows
+
+
+def test_keyed_latest_with_null_keys():
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None, "b"], pa.string()),
+            "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = keyed_latest(
+        ray.data.from_arrow(tbl), ["k"], [("ts", "descending")], num_partitions=2
+    ).take_all()
+    got = {r["k"]: r["ts"] for r in out}
+    # nulls form ONE group (SQL grouping semantics), latest ts wins
+    assert got == {"a": 3, None: 4, "b": 5}
+
+
+def test_broadcast_join_type_stable_across_batches():
+    small = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "v": pa.array([10, 20], pa.int64())}
+    )
+    # two blocks: one all-hit, one with a miss
+    left = ray.data.from_arrow_refs(
+        [
+            ray.put(pa.table({"k": pa.array([1, 2], pa.int64())})),
+            ray.put(pa.table({"k": pa.array([1, 3], pa.int64())})),
+        ]
+    )
+    inner = broadcast_join(left, small, left_on="k", right_on="k", how="inner")
+    schema = inner.schema()
+    assert dict(zip(schema.names, schema.types))["v"] == pa.int64()
+    assert sorted(r["v"] for r in inner.take_all()) == [10, 10, 20]
+    left2 = ray.data.from_arrow(pa.table({"k": pa.array([1, 3], pa.int64())}))
+    lj = broadcast_join(left2, small, left_on="k", right_on="k", how="left")
+    rows = {r["k"]: r["v"] for r in lj.take_all()}
+    assert rows == {1: 10, 3: None}
+    s2 = lj.schema()
+    assert dict(zip(s2.names, s2.types))["v"] == pa.int64()
+
+
+def test_null_filename_rejected():
+    batch = pa.table(
+        {
+            "filename": pa.array([None, "ok.pdf"], pa.string()),
+            "payload": pa.array([b"x", b"y"], pa.large_binary()),
+        }
+    )
+    reasons = tag_invalid_rows(batch, payload_col="payload").column("reject_reason").to_pylist()
+    assert reasons == ["missing_filename", None]
+
+
+def test_fingerprint_differs_beyond_prefix():
+    prefix = "x" * 8000
+    a = rolling_fingerprint(prefix + " tail one is here")
+    b = rolling_fingerprint(prefix + " tail two differs!")
+    assert a != b
+
+
+def test_hll_keeps_null_key_group():
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = approx_distinct(ray.data.from_arrow(tbl), ["k"], "v", num_partitions=2).take_all()
+    keys = {r["k"] for r in out}
+    assert None in keys and "a" in keys
+
+
+def test_run_cli_shard_groups_no_duplication(tmp_path):
+    """--shards-per-partition > 1 must read each shard exactly once."""
+    from ocr_endpoint_project_ray import run as runmod
+    from ocr_endpoint_project_ray.sources.corpus import synth_spans_batch
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    corpus = synth_spans_batch(docs.slice(0, 64))
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+    for i in range(4):
+        pq.write_table(corpus.slice(i * 16, 16), str(in_dir / f"s{i}.parquet"))
+    out_dir = str(tmp_path / "out")
+    rc = runmod.main(
+        [
+            "extract",
+            "--input",
+            str(in_dir),
+            "--output",
+            out_dir,
+            "--shards-per-partition",
+            "2",
+            "--num-partitions",
+            "4",
+        ]
+    )
+    assert rc == 0
+    total = sum(
+        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    assert total == 64  # every doc exactly once
+    import json
+
+    entries = [
+        json.load(open(os.path.join(out_dir, "_manifest", f)))
+        for f in sorted(os.listdir(os.path.join(out_dir, "_manifest")))
+    ]
+    assert all(e["rows_in"] == 32 for e in entries)  # real input counts, not rows_out
+
+
+@pytest.fixture()
+def edge_docs_dir(tmp_path):
+    texts = [
+        "normal words here repeated normal words here again and again ok",
+        "",
+        "\t\n",
+        "   ",
+        "café médical déjà-vu naïve über",
+        "عربي نص قصير هنا",
+        "a b c d e f g h i j k l",
+        "x" * 300,
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize("qname", ["q16_token_counts", "q19_cer_scores", "q33_quality_filter"])
+def test_oracle_parity_on_edge_texts(edge_docs_dir, qname):
+    """Whitespace-only and non-ASCII documents must still match the oracle."""
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{edge_docs_dir}/documents.parquet')"
+    )
+    mine = pa.Table.from_pylist(em.queries()[qname](edge_docs_dir).take_all()).to_pandas()
+    ref = con.sql(em.oracle_sql()[qname]).df()
+    c = lambda df: df[sorted(df.columns)].sort_values(by=sorted(df.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(c(mine), c(ref), check_dtype=False, rtol=0, atol=0)
