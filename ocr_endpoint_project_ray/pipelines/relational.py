@@ -351,6 +351,108 @@ def q28_purchase_last_view(sf_dir: str) -> ray.data.Dataset:
     return asof_join_latest_ts(purchases, views, key="user_id", out_col="last_view_ts")
 
 
+def q34_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group quantiles: keyed repartition co-locates each group,
+    then numpy linear-interpolation percentiles per block (== SQL
+    quantile_cont). Medians don't decompose into partial aggregates, so
+    co-location IS the algorithm — the partitioning assumption is the key."""
+    from ..context import default_num_partitions, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    n = min(default_num_partitions(per_cpu=1), 8)
+
+    def _quant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "p50": pa.array([], pa.float64()),
+                    "p95": pa.array([], pa.float64()),
+                }
+            )
+        b = b.take(pc.sort_indices(b, sort_keys=[("event_type", "ascending")]))
+        keys = b.column("event_type").to_pylist()
+        vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+
+        def quantile_cont(seg: np.ndarray, q: float) -> float:
+            # SQL quantile_cont semantics, in DuckDB's exact operation order:
+            # (1-frac)*lower + frac*upper (np.percentile's expression differs
+            # by an ulp, which an exact value-hash comparison notices)
+            s = np.sort(seg)
+            h = q * (len(s) - 1)
+            lo = int(np.floor(h))
+            frac = h - lo
+            hi = min(lo + 1, len(s) - 1)
+            return float((1 - frac) * s[lo] + frac * s[hi])
+
+        out_k, out_p50, out_p95 = [], [], []
+        start = 0
+        for i in range(1, len(keys) + 1):
+            if i == len(keys) or keys[i] != keys[start]:
+                seg = vals[start:i]
+                out_k.append(keys[start])
+                out_p50.append(quantile_cont(seg, 0.5))
+                out_p95.append(quantile_cont(seg, 0.95))
+                start = i
+        return pa.table(
+            {
+                "event_type": pa.array(out_k, pa.string()),
+                "p50": pa.array(out_p50, pa.float64()),
+                "p95": pa.array(out_p95, pa.float64()),
+            }
+        )
+
+    co = ds.repartition(num_blocks=n, keys=["event_type"])
+    return co.map_batches(_quant, batch_size=None, batch_format="pyarrow")
+
+
+def q35_top_orders_per_priority(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k (window-rank): keyed repartition + per-block vectorized
+    rank, reusing the ANN top-k kernel's run-boundary trick."""
+    from ..context import default_num_partitions, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    import numpy as np
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    n = min(default_num_partitions(per_cpu=1), 8)
+
+    def _topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        b = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[
+                    ("o_orderpriority", "ascending"),
+                    ("o_totalprice", "descending"),
+                    ("o_orderkey", "ascending"),
+                ],
+            )
+        )
+        keys = np.asarray(b.column("o_orderpriority").to_pylist())
+        m = len(keys)
+        starts = np.concatenate(([True], keys[1:] != keys[:-1]))
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(m), 0))
+        rk = np.arange(m) - run_start + 1
+        keep = rk <= 3
+        out = b.filter(pa.array(keep))
+        return out.append_column("rk", pa.array(rk[keep], pa.int64()))
+
+    co = ds.repartition(num_blocks=n, keys=["o_orderpriority"])
+    return co.map_batches(_topk, batch_size=None, batch_format="pyarrow")
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -426,6 +528,19 @@ RELATIONAL_ORACLES: dict[str, str] = {
                      (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
         FROM supplier
     """,
+    "q34_value_quantiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    """,
+    "q35_top_orders_per_priority": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders) WHERE rk <= 3
+    """,
     "q27_priority_revenue": """
         SELECT o_orderpriority,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
@@ -475,5 +590,7 @@ RELATIONAL_QUERIES = {
     "q13_minmax_suppliers": q13_minmax_suppliers,
     "q25_user_sessions": q25_user_sessions,
     "q27_priority_revenue": q27_priority_revenue,
+    "q34_value_quantiles": q34_value_quantiles,
+    "q35_top_orders_per_priority": q35_top_orders_per_priority,
     "q28_purchase_last_view": q28_purchase_last_view,
 }
