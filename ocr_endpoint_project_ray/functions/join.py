@@ -51,11 +51,9 @@ class _BroadcastJoiner:
             keys = keys[mask]
         for c, mapping in self._maps.items():
             mapped = keys.map(mapping)
-            if self._how == "left":
-                values = [None if pd.isna(v) else v for v in mapped]
-            else:
-                values = mapped.tolist()
-            batch = batch.append_column(c, pa.array(values, type=self._types[c]))
+            # vectorized conversion pinning the small side's Arrow type:
+            # NaN→null, lossless cast back from pandas' float promotion
+            batch = batch.append_column(c, pa.Array.from_pandas(mapped, type=self._types[c]))
         return batch
 
 

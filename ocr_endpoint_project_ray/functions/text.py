@@ -51,14 +51,17 @@ def normalize_text_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
 
-def count_tokens_ws(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Whitespace token count per string, vectorized.
+#: ASCII-whitespace token pattern — the RE2 ``\S`` definition, usable
+#: identically from Python re, pyarrow (RE2) and DuckDB (RE2), so engine and
+#: SQL oracle agree by construction. (``str.split()`` differs only on exotic
+#: Unicode whitespace like NBSP, which it treats as a separator.)
+TOKEN_RE = r"[^ \t\n\r\f\v]+"
 
-    Matches ``len(s.split())`` exactly: count of maximal non-space runs.
-    """
-    trimmed = pc.utf8_trim_whitespace(arr)
-    counts = pc.count_substring_regex(trimmed, r"\S+")
-    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), counts)
+
+def count_tokens_ws(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count per string: maximal runs of non-(ASCII-)space
+    characters, vectorized. 0 for empty/whitespace-only strings."""
+    return pc.count_substring_regex(arr, TOKEN_RE)
 
 
 def count_tokens_bpe(arr: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -373,30 +373,34 @@ def q34_value_quantiles(sf_dir: str) -> ray.data.Dataset:
                     "p95": pa.array([], pa.float64()),
                 }
             )
-        b = b.take(pc.sort_indices(b, sort_keys=[("event_type", "ascending")]))
-        keys = b.column("event_type").to_pylist()
+        b = b.take(
+            pc.sort_indices(
+                b, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
+            )
+        )
+        keys = np.asarray(b.column("event_type").to_pylist())
         vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
 
-        def quantile_cont(seg: np.ndarray, q: float) -> float:
+        def quantile_cont(sorted_seg: np.ndarray, q: float) -> float:
             # SQL quantile_cont semantics, in DuckDB's exact operation order:
             # (1-frac)*lower + frac*upper (np.percentile's expression differs
             # by an ulp, which an exact value-hash comparison notices)
-            s = np.sort(seg)
-            h = q * (len(s) - 1)
+            h = q * (len(sorted_seg) - 1)
             lo = int(np.floor(h))
             frac = h - lo
-            hi = min(lo + 1, len(s) - 1)
-            return float((1 - frac) * s[lo] + frac * s[hi])
+            hi = min(lo + 1, len(sorted_seg) - 1)
+            return float((1 - frac) * sorted_seg[lo] + frac * sorted_seg[hi])
 
+        # vectorized run boundaries over the (key, value)-sorted block
+        m = len(keys)
+        starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
+        ends = np.concatenate((starts[1:], [m]))
         out_k, out_p50, out_p95 = [], [], []
-        start = 0
-        for i in range(1, len(keys) + 1):
-            if i == len(keys) or keys[i] != keys[start]:
-                seg = vals[start:i]
-                out_k.append(keys[start])
-                out_p50.append(quantile_cont(seg, 0.5))
-                out_p95.append(quantile_cont(seg, 0.95))
-                start = i
+        for s_idx, e_idx in zip(starts, ends):
+            seg = vals[s_idx:e_idx]  # already sorted within the group
+            out_k.append(keys[s_idx])
+            out_p50.append(quantile_cont(seg, 0.5))
+            out_p95.append(quantile_cont(seg, 0.95))
         return pa.table(
             {
                 "event_type": pa.array(out_k, pa.string()),

@@ -206,11 +206,18 @@ def q33_quality_filter(sf_dir: str) -> ray.data.Dataset:
     def _filter(b: pa.Table) -> pa.Table:
         n_tok = pc.cast(count_tokens_ws(b.column("text")), pa.float64())
         feats = quality_features(b.column("text"))
-        # distinct-word ratio, matching len(list_distinct(split))/len(split)
+        # distinct-word ratio with the SAME token definition as n_tokens and
+        # the SQL oracle (RE2 \S+ ≡ TOKEN_RE; str.split() would disagree on
+        # Unicode whitespace like NBSP)
+        import re as _re
+
+        from ..functions.text import TOKEN_RE
+
+        tok_re = _re.compile(TOKEN_RE)
         texts = b.column("text").to_pylist()
         dwr = []
-        for t, nt in zip(texts, n_tok.to_pylist()):
-            words = (t or "").split()
+        for t in texts:
+            words = tok_re.findall(t or "")
             dwr.append(len(set(words)) / len(words) if words else 0.0)
         dwr_arr = pa.array(dwr, pa.float64())
 

@@ -77,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
         try:
             import pyarrow.parquet as pq
 
-            return sum(pq.read_metadata(p).num_rows for p in group if p.endswith(".parquet"))
+            parquet = [p for p in group if p.endswith(".parquet")]
+            if not parquet:  # unknown input format → no lineage claim
+                return None
+            return sum(pq.read_metadata(p).num_rows for p in parquet)
         except Exception:
             return None
 

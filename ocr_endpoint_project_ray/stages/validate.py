@@ -51,8 +51,10 @@ def tag_invalid_rows(
     )
     if payload_col is not None:
         size = pc.binary_length(batch.column(payload_col))
-        empty = pc.equal(size, 0)
-        too_big = pc.greater(size, max_bytes)
+        # null payload → null size → null conditions, which would poison
+        # if_else and WIPE an already-set reason; treat null payload as empty
+        empty = pc.fill_null(pc.equal(size, 0), True)
+        too_big = pc.fill_null(pc.greater(size, max_bytes), False)
         reason = pc.if_else(pc.and_(empty, pc.is_null(reason)), pa.scalar("empty_file"), reason)
         reason = pc.if_else(
             pc.and_(too_big, pc.is_null(reason)), pa.scalar("payload_too_large"), reason

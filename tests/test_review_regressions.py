@@ -72,6 +72,37 @@ def test_null_filename_rejected():
     assert reasons == ["missing_filename", None]
 
 
+def test_null_payload_does_not_wipe_reason():
+    """Second-review finding: null payload must not reset an already-set
+    reject reason (null condition poisoning if_else)."""
+    batch = pa.table(
+        {
+            "filename": pa.array(["bad.exe", None, "ok.pdf", "p.pdf"], pa.string()),
+            "payload": pa.array([None, None, b"y", None], pa.large_binary()),
+        }
+    )
+    reasons = tag_invalid_rows(batch, payload_col="payload").column("reject_reason").to_pylist()
+    assert reasons == ["unsupported_media_type", "missing_filename", None, "empty_file"]
+
+
+def test_broadcast_join_null_value_in_small_side():
+    small = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([10, None], pa.int64())})
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    rows = {r["k"]: r["v"] for r in
+            broadcast_join(left, small, left_on="k", right_on="k", how="inner").take_all()}
+    assert rows == {1: 10, 2: None}
+
+
+def test_token_definition_consistent_on_unicode_whitespace():
+    """q33's n_tokens and distinct_word_ratio must share one token
+    definition (RE2 \\S+), including on NBSP."""
+    from ocr_endpoint_project_ray.functions.text import count_tokens_ws
+
+    nbsp_text = "a\u00a0a a\u00a0a"
+    assert count_tokens_ws(pa.array([nbsp_text])).to_pylist() == [2]
+    assert count_tokens_ws(pa.array(["\u00a0"])).to_pylist() == [1]  # RE2: NBSP is \S
+
+
 def test_fingerprint_differs_beyond_prefix():
     prefix = "x" * 8000
     a = rolling_fingerprint(prefix + " tail one is here")
@@ -143,6 +174,8 @@ def edge_docs_dir(tmp_path):
         "عربي نص قصير هنا",
         "a b c d e f g h i j k l",
         "x" * 300,
+        "a a a a",  # NBSP: RE2 \S, not a separator
+        " ",
     ]
     tbl = pa.table(
         {
