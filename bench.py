@@ -90,11 +90,19 @@ def run_headline(sf_dir: str, *, warmup: bool = True) -> dict:
     from ocr_endpoint_project_ray.pipelines.extraction import extract_documents
 
     corpus = _corpus_path(sf_dir, TILE)
+    # identical job at every parallelism level (north_rule: same job, N and
+    # 4N nodes) — partition count is a job parameter, not a function of the
+    # cluster, so the scaling comparison measures the cluster, not the plan
+    parts = int(os.environ.get("GRAFT_PARTITIONS", "32"))
     if warmup:  # spin up worker processes so the measurement is steady-state
-        extract_documents(ray.data.read_parquet(corpus).limit(1000), salted=True).count()
+        extract_documents(
+            ray.data.read_parquet(corpus).limit(1000), salted=True, num_partitions=parts
+        ).count()
 
     t0 = time.time()
-    n = extract_documents(ray.data.read_parquet(corpus), salted=True).count()
+    n = extract_documents(
+        ray.data.read_parquet(corpus), salted=True, num_partitions=parts
+    ).count()
     wall = time.time() - t0
     return {"docs": n, "extraction_wall_sec": round(wall, 3), "docs_per_sec": round(n / wall, 1)}
 

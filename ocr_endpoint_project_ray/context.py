@@ -25,10 +25,19 @@ def ensure_hash_shuffle() -> None:
     # Every hash-shuffle op spawns its own aggregator-actor pool (one actor
     # per partition by default, NOT reused across ops). Uncapped, a pipeline
     # with two keyed shuffles at 64 partitions spawns 128 actors and spends
-    # its wall-clock on process startup. A handful of aggregators per shuffle
-    # is plenty on a single node; partition count stays independent.
-    if ctx.max_hash_shuffle_aggregators is None or ctx.max_hash_shuffle_aggregators > 8:
-        ctx.max_hash_shuffle_aggregators = 8
+    # its wall-clock on process startup. Size the cap to the cluster
+    # (~cpus/2, clamped): aggregators are the shuffle's parallelism ceiling,
+    # so a fixed small cap throttles large clusters while a huge cap drowns
+    # small ones in actor startup.
+    cap = 8
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 16))
+            cap = max(4, min(16, cpus // 2))
+    except Exception:  # pragma: no cover
+        pass
+    if ctx.max_hash_shuffle_aggregators is None or ctx.max_hash_shuffle_aggregators != cap:
+        ctx.max_hash_shuffle_aggregators = cap
     # Don't let aggregators reserve cores away from map stages: with the
     # default per-partition reservation, two keyed shuffles at 64 partitions
     # reserve the entire 32-CPU node for aggregators and the pipeline
