@@ -457,6 +457,18 @@ def q35_top_orders_per_priority(sf_dir: str) -> ray.data.Dataset:
     return co.map_batches(_topk, batch_size=None, batch_format="pyarrow")
 
 
+def q36_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact grouped COUNT(DISTINCT): dedup on (group, value) via the keyed
+    first-of-run primitive, then a grouped count of the survivors — two
+    keyed shuffles of shrinking data, no per-group sets in memory. (The HLL
+    sketch in functions/sketch.py is the approximate single-shuffle path.)"""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    distinct = keyed_latest(ds, ["event_type", "user_id"], [])
+    return grouped_agg(
+        distinct, ["event_type"], [Agg("n_distinct_users", "user_id", "count_rows")]
+    )
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -532,6 +544,10 @@ RELATIONAL_ORACLES: dict[str, str] = {
                      (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
         FROM supplier
     """,
+    "q36_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        FROM events GROUP BY event_type
+    """,
     "q34_value_quantiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS p50,
@@ -596,5 +612,6 @@ RELATIONAL_QUERIES = {
     "q27_priority_revenue": q27_priority_revenue,
     "q34_value_quantiles": q34_value_quantiles,
     "q35_top_orders_per_priority": q35_top_orders_per_priority,
+    "q36_distinct_users": q36_distinct_users,
     "q28_purchase_last_view": q28_purchase_last_view,
 }
