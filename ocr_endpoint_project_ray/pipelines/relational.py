@@ -469,6 +469,31 @@ def q36_distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q37_price_bands(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast range join (lo <= value < hi, vectorized searchsorted):
+    revenue per order-price band — the banded analogue of the reference's
+    threshold scorecards."""
+    from ..functions.join import broadcast_range_join
+
+    bands = pa.table(
+        {
+            "lo": pa.array([0.0, 50_000.0, 150_000.0, 300_000.0], pa.float64()),
+            "hi": pa.array([50_000.0, 150_000.0, 300_000.0, 1e12], pa.float64()),
+            "band": pa.array(["small", "medium", "large", "jumbo"], pa.string()),
+        }
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    banded = broadcast_range_join(
+        orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi", label_col="band"
+    )
+    out = grouped_agg(
+        banded,
+        ["band"],
+        [Agg("n_orders", "o_totalprice", "count_rows"), Agg("total", "o_totalprice", "sum")],
+    )
+    return round_columns(out, ["total"], 2)
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -544,6 +569,15 @@ RELATIONAL_ORACLES: dict[str, str] = {
                      (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
         FROM supplier
     """,
+    "q37_price_bands": """
+        SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN (VALUES (0.0, 50000.0, 'small'), (50000.0, 150000.0, 'medium'),
+                     (150000.0, 300000.0, 'large'), (300000.0, 1e12, 'jumbo'))
+             AS b(lo, hi, band)
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """,
     "q36_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         FROM events GROUP BY event_type
@@ -613,5 +647,6 @@ RELATIONAL_QUERIES = {
     "q34_value_quantiles": q34_value_quantiles,
     "q35_top_orders_per_priority": q35_top_orders_per_priority,
     "q36_distinct_users": q36_distinct_users,
+    "q37_price_bands": q37_price_bands,
     "q28_purchase_last_view": q28_purchase_last_view,
 }
