@@ -494,6 +494,32 @@ def q37_price_bands(sf_dir: str) -> ray.data.Dataset:
     return round_columns(out, ["total"], 2)
 
 
+def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
+    """Anti join via broadcast key set: customers with no 'F'-status orders. The order
+    custkey set ships once (ray.put of a numpy array; at 10^12-row scale a
+    Bloom filter of the keys replaces the exact set) and each batch filters
+    with a vectorized np.isin — no shuffle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    orders_tbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
+    import pyarrow.compute as _pc
+
+    f_orders = orders_tbl.filter(_pc.equal(orders_tbl.column("o_orderstatus"), "F"))
+    keys = np.unique(f_orders.column("o_custkey").to_numpy(zero_copy_only=False))
+    ref = _ray.put(keys)
+    customers = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def _anti(b: pa.Table) -> pa.Table:
+        key_set = _ray.get(ref)
+        v = b.column("c_custkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(v, key_set)))
+
+    return customers.map_batches(_anti, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -568,6 +594,10 @@ RELATIONAL_ORACLES: dict[str, str] = {
                (s_acctbal - min(s_acctbal) OVER ()) /
                      (max(s_acctbal) OVER () - min(s_acctbal) OVER ()) AS acctbal_norm
         FROM supplier
+    """,
+    "q38_customers_no_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     "q37_price_bands": """
         SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
@@ -648,5 +678,6 @@ RELATIONAL_QUERIES = {
     "q35_top_orders_per_priority": q35_top_orders_per_priority,
     "q36_distinct_users": q36_distinct_users,
     "q37_price_bands": q37_price_bands,
+    "q38_customers_no_orders": q38_customers_no_orders,
     "q28_purchase_last_view": q28_purchase_last_view,
 }
