@@ -18,6 +18,9 @@ import ray.data
 from ray.data.context import ShuffleStrategy
 
 
+_AUTO_AGG_CAP: int | None = None
+
+
 def ensure_hash_shuffle() -> None:
     ctx = ray.data.DataContext.get_current()
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
@@ -36,8 +39,12 @@ def ensure_hash_shuffle() -> None:
             cap = max(4, min(16, cpus // 2))
     except Exception:  # pragma: no cover
         pass
-    if ctx.max_hash_shuffle_aggregators is None or ctx.max_hash_shuffle_aggregators != cap:
+    global _AUTO_AGG_CAP
+    # only replace values WE set (or unset) — never clobber an explicit user
+    # configuration
+    if ctx.max_hash_shuffle_aggregators in (None, _AUTO_AGG_CAP):
         ctx.max_hash_shuffle_aggregators = cap
+        _AUTO_AGG_CAP = cap
     # Don't let aggregators reserve cores away from map stages: with the
     # default per-partition reservation, two keyed shuffles at 64 partitions
     # reserve the entire 32-CPU node for aggregators and the pipeline

@@ -106,23 +106,28 @@ def broadcast_range_join(
     import numpy as np
 
     out_col = out_col or label_col
+    if bands.num_rows == 0:
+        raise ValueError("bands table is empty; range join needs at least one band")
+    label_type = bands.schema.field(label_col).type
     los = np.asarray(bands.column(lo_col).to_pylist(), dtype=np.float64)
     his = np.asarray(bands.column(hi_col).to_pylist(), dtype=np.float64)
     labels = bands.column(label_col).to_pylist()
     order = np.argsort(los)
     los, his = los[order], his[order]
-    labels = [labels[i] for i in order]
+    labels_arr = np.asarray([labels[i] for i in order], dtype=object)
     if np.any(los[1:] < his[:-1]):
         raise ValueError("bands overlap; range join requires disjoint bands")
-    ref = ray.put((los, his, labels))
+    ref = ray.put((los, his, labels_arr))
 
     def _band(batch: pa.Table) -> pa.Table:
         los_, his_, labels_ = ray.get(ref)
         v = batch.column(value_col).combine_chunks().to_numpy(zero_copy_only=False)
         idx = np.searchsorted(los_, v, side="right") - 1
-        valid = (idx >= 0) & (v < his_[np.clip(idx, 0, len(his_) - 1)])
-        out = [labels_[i] if ok else None for i, ok in zip(idx, valid)]
-        return batch.append_column(out_col, pa.array(out, pa.string()))
+        clipped = np.clip(idx, 0, len(his_) - 1)
+        valid = (idx >= 0) & (v < his_[clipped])
+        # fully vectorized label scatter; None where no band matched
+        out = np.where(valid, labels_[clipped], None)
+        return batch.append_column(out_col, pa.array(out, type=label_type))
 
     return ds.map_batches(_band, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -463,6 +463,8 @@ def q36_distinct_users(sf_dir: str) -> ray.data.Dataset:
     keyed shuffles of shrinking data, no per-group sets in memory. (The HLL
     sketch in functions/sketch.py is the approximate single-shuffle path.)"""
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    # COUNT(DISTINCT x) ignores nulls — drop null values before dedup
+    ds = _mask_filter(ds, lambda b: pc.is_valid(b.column("user_id")))
     distinct = keyed_latest(ds, ["event_type", "user_id"], [])
     return grouped_agg(
         distinct, ["event_type"], [Agg("n_distinct_users", "user_id", "count_rows")]
@@ -486,6 +488,8 @@ def q37_price_bands(sf_dir: str) -> ray.data.Dataset:
     banded = broadcast_range_join(
         orders, bands, value_col="o_totalprice", lo_col="lo", hi_col="hi", label_col="band"
     )
+    # inner-join semantics (the oracle drops rows outside every band)
+    banded = _mask_filter(banded, lambda b: pc.is_valid(b.column("band")))
     out = grouped_agg(
         banded,
         ["band"],
@@ -504,10 +508,11 @@ def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
 
     import ray as _ray
 
-    orders_tbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
-    import pyarrow.compute as _pc
-
-    f_orders = orders_tbl.filter(_pc.equal(orders_tbl.column("o_orderstatus"), "F"))
+    f_orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filters=[("o_orderstatus", "=", "F")],  # row-group pushdown
+    )
     keys = np.unique(f_orders.column("o_custkey").to_numpy(zero_copy_only=False))
     ref = _ray.put(keys)
     customers = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
@@ -597,7 +602,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "q38_customers_no_orders": """
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
     """,
     "q37_price_bands": """
         SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total

@@ -15,6 +15,8 @@ import os
 
 import ray.data
 
+from ..context import ensure_hash_shuffle
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -28,7 +30,12 @@ def read_table(
 ) -> ray.data.Dataset:
     """Read one of the benchmark tables with projection pushdown and
     (optionally) a pyarrow expression row filter pushed into the scan —
-    row groups that can't match never leave storage."""
+    row groups that can't match never leave storage.
+
+    Refreshes the shuffle context first: DataContext is snapshotted into the
+    plan at dataset CREATION, so cluster-sized knobs (aggregator caps) must
+    be set here, after ray.init, not only at package import."""
+    ensure_hash_shuffle()
     return ray.data.read_parquet(table_path(sf_dir, name), columns=columns, filter=filter)
 
 
@@ -37,6 +44,8 @@ def read_metadata_csv(path: str, *, key_col: str = "filename") -> ray.data.Datas
     (≙ load_db_metadata, ocr_common.py:31-41): drop rows with an empty key.
     Tiny table — take_all + broadcast at use sites."""
     import pyarrow.compute as pc
+
+    ensure_hash_shuffle()
 
     def _nonempty(batch):
         col = batch.column(key_col)
@@ -52,6 +61,7 @@ def read_docs(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read an interleaved-document corpus: Lance when available (the
     100 TB target format — streaming column-pruned fragment reads), else
     Parquet with the same (doc_id, spans) schema."""
+    ensure_hash_shuffle()
     if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
         try:
             import lance  # noqa: F401

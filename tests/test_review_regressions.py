@@ -163,6 +163,49 @@ def test_run_cli_shard_groups_no_duplication(tmp_path):
     assert all(e["rows_in"] == 32 for e in entries)  # real input counts, not rows_out
 
 
+def test_range_join_edges():
+    from ocr_endpoint_project_ray.functions.join import broadcast_range_join
+
+    bands = pa.table(
+        {
+            "lo": pa.array([0.0, 10.0], pa.float64()),
+            "hi": pa.array([10.0, 20.0], pa.float64()),
+            "band": pa.array([1, 2], pa.int64()),  # non-string labels
+        }
+    )
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([-5.0, 0.0, 9.9, 10.0, 25.0], pa.float64())}))
+    out = broadcast_range_join(ds, bands, value_col="v", lo_col="lo", hi_col="hi", label_col="band")
+    got = {r["v"]: r["band"] for r in out.take_all()}
+    assert got == {-5.0: None, 0.0: 1, 9.9: 1, 10.0: 2, 25.0: None}
+    with pytest.raises(ValueError, match="empty"):
+        broadcast_range_join(ds, bands.slice(0, 0), value_col="v", lo_col="lo", hi_col="hi", label_col="band")
+    overlapping = pa.table(
+        {
+            "lo": pa.array([0.0, 5.0], pa.float64()),
+            "hi": pa.array([10.0, 20.0], pa.float64()),
+            "band": pa.array(["a", "b"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_join(ds, overlapping, value_col="v", lo_col="lo", hi_col="hi", label_col="band")
+
+
+def test_external_aggregator_cap_respected():
+    import ray.data as rd
+
+    from ocr_endpoint_project_ray.context import ensure_hash_shuffle
+
+    ctx = rd.DataContext.get_current()
+    before = ctx.max_hash_shuffle_aggregators
+    try:
+        ctx.max_hash_shuffle_aggregators = 3  # explicit user setting
+        ensure_hash_shuffle()
+        assert ctx.max_hash_shuffle_aggregators == 3
+    finally:
+        ctx.max_hash_shuffle_aggregators = before
+        ensure_hash_shuffle()
+
+
 @pytest.fixture()
 def edge_docs_dir(tmp_path):
     texts = [
