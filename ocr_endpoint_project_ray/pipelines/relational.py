@@ -653,9 +653,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
                         THEN 1 ELSE 0 END AS is_start
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
-            SELECT *, sum(is_start) OVER (
+            SELECT *, CAST(sum(is_start) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS session_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM o)
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts) AS start_ts, max(ts) AS end_ts,

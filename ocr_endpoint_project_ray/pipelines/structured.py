@@ -184,7 +184,7 @@ def q24_parse_validity_rates(sf_dir: str) -> ray.data.Dataset:
 Q24_ORACLE = """
     SELECT doc_id % 4 AS failure_mode,
            count(*) AS n_docs,
-           sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS n_json_valid,
-           sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS n_schema_valid
+           CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_json_valid,
+           CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_schema_valid
     FROM documents GROUP BY doc_id % 4
 """
