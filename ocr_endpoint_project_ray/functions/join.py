@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -77,6 +78,18 @@ def broadcast_join(
         value_cols = [c for c in small.column_names if c != right_on]
     if how not in ("inner", "left"):
         raise ValueError(f"broadcast_join supports inner/left, got {how}")
+    # A null key never equals any probe key (SQL equality), and duplicate
+    # NaNs would make the pd.Series index ambiguous — drop null-key rows.
+    if small.column(right_on).null_count:
+        small = small.filter(pc.is_valid(small.column(right_on)))
+    # 1:N small sides would make the pd.Series key index ambiguous and raise
+    # InvalidIndexError deep inside a Ray task — fail fast with a clear error.
+    n_distinct = len(pc.unique(small.column(right_on)))
+    if n_distinct != small.num_rows:
+        raise ValueError(
+            f"broadcast_join small side has duplicate keys in {right_on!r} "
+            f"({small.num_rows - n_distinct} dups); dedup the dimension table or use hash_join"
+        )
     ref = ray.put(small)
     return ds.map_batches(
         _BroadcastJoiner,

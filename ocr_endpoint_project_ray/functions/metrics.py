@@ -103,13 +103,15 @@ def word_metrics(ground_truth: str, prediction: str) -> dict[str, Any]:
     gt_words = normalize_words(ground_truth)
     pred_words = normalize_words(prediction)
     if not gt_words:
+        # Reference (ocr_common.py word_metrics) still reports the deduped
+        # prediction words as extra when the ground truth is empty.
         return {
             "accuracy_pct": 100.0,
             "cer_pct": 0.0,
             "wer_pct": 0.0,
             "layout_accuracy_pct": 100.0,
             "missing_words": [],
-            "extra_words": [],
+            "extra_words": list(dict.fromkeys(pred_words)),
         }
     gt_set, pred_set = set(gt_words), set(pred_words)
     found = sum(1 for w in gt_words if w in pred_set)

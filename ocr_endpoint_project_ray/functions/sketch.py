@@ -134,7 +134,9 @@ def approx_distinct(
         for kv, grp in df.groupby(keys, sort=False, dropna=False):
             kv = kv if isinstance(kv, tuple) else (kv,)
             rows_keys.append(kv)
-            rows_sk.append(HllSketch(p).update(grp[value_col].tolist()).serialize())
+            # COUNT(DISTINCT) ignores nulls; feeding them to the sketch would
+            # count str(None)/NaN as an extra distinct value vs the exact path.
+            rows_sk.append(HllSketch(p).update(grp[value_col].dropna().tolist()).serialize())
         cols = _key_arrays(rows_keys, batch.schema)
         cols["__sketch"] = pa.array(rows_sk, pa.large_binary())
         return pa.table(cols)

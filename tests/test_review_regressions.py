@@ -246,3 +246,46 @@ def test_oracle_parity_on_edge_texts(edge_docs_dir, qname):
     ref = con.sql(em.oracle_sql()[qname]).df()
     c = lambda df: df[sorted(df.columns)].sort_values(by=sorted(df.columns), ignore_index=True)
     pd.testing.assert_frame_equal(c(mine), c(ref), check_dtype=False, rtol=0, atol=0)
+
+
+def test_word_metrics_empty_gt_reports_extra_words():
+    # Reference ocr_common.py word_metrics: empty ground truth still reports
+    # the deduped prediction words as extras (ADVICE round 1).
+    from ocr_endpoint_project_ray.functions.metrics import word_metrics
+
+    m = word_metrics("", "foo bar foo baz")
+    assert m["accuracy_pct"] == 100.0
+    assert m["missing_words"] == []
+    assert m["extra_words"] == ["foo", "bar", "baz"]
+    assert word_metrics("", "")["extra_words"] == []
+
+
+def test_broadcast_join_rejects_duplicate_small_keys():
+    small = pa.table(
+        {"k": pa.array([1, 1, 2], pa.int64()), "v": pa.array([10, 11, 20], pa.int64())}
+    )
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_join(left, small, left_on="k", right_on="k")
+    # null keys in the small side don't count as duplicates of each other
+    small_nulls = pa.table(
+        {"k": pa.array([1, None, None], pa.int64()), "v": pa.array([10, 0, 0], pa.int64())}
+    )
+    out = broadcast_join(
+        left, small_nulls, left_on="k", right_on="k", how="inner"
+    ).take_all()
+    assert [r["v"] for r in out] == [10]
+
+
+def test_hll_sketch_ignores_nulls():
+    # COUNT(DISTINCT) semantics: nulls are not a distinct value.
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 6, pa.string()),
+            "v": pa.array(["x", None, "y", None, "x", None], pa.string()),
+        }
+    )
+    out = approx_distinct(
+        ray.data.from_arrow(tbl), keys=["g"], value_col="v", out="nd", num_partitions=2
+    ).take_all()
+    assert out == [{"g": "a", "nd": 2}]
