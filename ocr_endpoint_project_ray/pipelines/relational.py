@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..functions.agg import Agg, grouped_agg, round_columns
-from ..functions.join import broadcast_join
+from ..functions.join import broadcast_join, hash_join
 from ..sources.tables import read_table
 from ..stages.dedup import keyed_latest
 
@@ -158,27 +158,23 @@ def q06_part_type_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def q07_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast-small-side equi-join chain (≙ §2.8 joins / A9): the
-    customer→nation dimension map is built driver-side (tiny) and shipped
-    once via ray.put; the fact table never shuffles."""
+    """Broadcast + distributed equi-join chain (≙ §2.8 joins / A9): the
+    genuinely tiny ``nation`` table (25 rows) is broadcast-joined onto the
+    fact-sized ``customer`` table as a distributed map_batches stage — the
+    customer table never touches the driver — then orders pre-aggregates
+    revenue per custkey (combiner: shrinks the shuffle to one row per
+    customer) before a distributed hash join and the final 25-row groupby."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap = {
-        r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
-    }
-    dim = pa.table(
-        {
-            "c_custkey": cust.column("c_custkey"),
-            "n_name": pa.array(
-                [nmap[k] for k in cust.column("c_nationkey").to_pylist()], pa.string()
-            ),
-        }
-    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_dim = broadcast_join(
+        cust, nation, left_on="c_nationkey", right_on="n_nationkey", how="inner"
+    ).drop_columns(["c_nationkey"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, dim, left_on="o_custkey", right_on="c_custkey", how="inner")
-    out = grouped_agg(joined, ["n_name"], [Agg("revenue", "o_totalprice", "sum")])
+    per_cust = grouped_agg(orders, ["o_custkey"], [Agg("revenue", "o_totalprice", "sum")])
+    joined = hash_join(per_cust, cust_dim, on="o_custkey", right_on="c_custkey")
+    out = grouped_agg(joined, ["n_name"], [Agg("revenue", "revenue", "sum")])
     return round_columns(out, ["revenue"], 2)
 
 
@@ -499,30 +495,32 @@ def q37_price_bands(sf_dir: str) -> ray.data.Dataset:
 
 
 def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
-    """Anti join via broadcast key set: customers with no 'F'-status orders. The order
-    custkey set ships once (ray.put of a numpy array; at 10^12-row scale a
-    Bloom filter of the keys replaces the exact set) and each batch filters
-    with a vectorized np.isin — no shuffle."""
-    import numpy as np
-    import pyarrow.parquet as pq
+    """Distributed anti join: customers with no 'F'-status orders. The orders
+    side is scan-filtered (predicate pushdown), projected to the key, then
+    pre-deduplicated per block — each block shrinks to its distinct custkeys
+    before the shuffle — and joined ``left_anti`` via Dataset.join. Nothing
+    touches the driver; at 10^12 rows a broadcast Bloom filter of the key
+    set is the shuffle-free alternative."""
+    import pyarrow.dataset as pds
 
-    import ray as _ray
+    from ..context import default_num_partitions
 
-    f_orders = pq.read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey"],
-        filters=[("o_orderstatus", "=", "F")],  # row-group pushdown
-    )
-    keys = np.unique(f_orders.column("o_custkey").to_numpy(zero_copy_only=False))
-    ref = _ray.put(keys)
     customers = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-
-    def _anti(b: pa.Table) -> pa.Table:
-        key_set = _ray.get(ref)
-        v = b.column("c_custkey").combine_chunks().to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(~np.isin(v, key_set)))
-
-    return customers.map_batches(_anti, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+    f_keys = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        filter=pds.field("o_orderstatus") == "F",
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": pc.unique(b.column("o_custkey"))}),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    n = min(default_num_partitions(per_cpu=1), 16)
+    return hash_join(
+        customers, f_keys, on="c_custkey", right_on="o_custkey",
+        join_type="left_anti", num_partitions=n,
+    )
 
 
 RELATIONAL_ORACLES: dict[str, str] = {
