@@ -523,6 +523,100 @@ def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q39_status_priority_pivot(sf_dir: str) -> pa.Table:
+    """Head-to-head pivot (≙ A7, generate_decision_report.py:303-329):
+    distributed two-key grouped count shrinks orders to ≤15 cells, then the
+    tiny aggregate pivots driver-side — one row per status, one column per
+    priority, absent combinations filled with 0 like conditional-aggregation
+    SQL."""
+    from .reports import pivot_table
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    counts = grouped_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        [Agg("n", "o_orderpriority", "count_rows")],
+    )
+    small = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    return pivot_table(
+        small, index="o_orderstatus", columns="o_orderpriority", values="n", fill_value=0
+    )
+
+
+def q40_value_describe(sf_dir: str) -> ray.data.Dataset:
+    """Describe per group (≙ A8, generate_decision_report.py:442-447):
+    count/mean/std/min/quartiles/max of event value per event_type. Moments
+    decompose into partials, but quartiles don't — so like q34 the keyed
+    repartition co-locates each group and one vectorized numpy pass per
+    block computes the whole describe row per group. Mean is
+    round(sum)/count and std is rounded at 6dp on both engines (summation-
+    order ulp noise; see functions/agg.py docstrings)."""
+    import numpy as np
+
+    from ..context import default_num_partitions, ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    n = min(default_num_partitions(per_cpu=1), 8)
+
+    def _describe(b: pa.Table) -> pa.Table:
+        out_cols = ["event_type", "n", "mean", "std", "min", "p25", "p50", "p75", "max"]
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    **{c: pa.array([], pa.float64()) for c in out_cols[2:]},
+                }
+            )
+        b = b.take(
+            pc.sort_indices(
+                b, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
+            )
+        )
+        keys = np.asarray(b.column("event_type").to_pylist())
+        vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+
+        def quantile_cont(sorted_seg: np.ndarray, q: float) -> float:
+            # DuckDB quantile_cont's exact operation order (see q34)
+            h = q * (len(sorted_seg) - 1)
+            lo = int(np.floor(h))
+            frac = h - lo
+            hi = min(lo + 1, len(sorted_seg) - 1)
+            return float((1 - frac) * sorted_seg[lo] + frac * sorted_seg[hi])
+
+        m = len(keys)
+        starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
+        ends = np.concatenate((starts[1:], [m]))
+        rows = {c: [] for c in out_cols}
+        for s_idx, e_idx in zip(starts, ends):
+            seg = vals[s_idx:e_idx]  # sorted within the group
+            cnt = len(seg)
+            rows["event_type"].append(keys[s_idx])
+            rows["n"].append(cnt)
+            # value is 2dp-quantized: rounding the sum at its quantum recovers
+            # the exact decimal on both engines before the division
+            rows["mean"].append(round(float(seg.sum()), 2) / cnt)
+            rows["std"].append(
+                round(float(seg.std(ddof=1)), 6) if cnt > 1 else None
+            )
+            rows["min"].append(float(seg[0]))
+            rows["p25"].append(quantile_cont(seg, 0.25))
+            rows["p50"].append(quantile_cont(seg, 0.5))
+            rows["p75"].append(quantile_cont(seg, 0.75))
+            rows["max"].append(float(seg[-1]))
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                **{c: pa.array(rows[c], pa.float64()) for c in out_cols[2:]},
+            }
+        )
+
+    co = ds.repartition(num_blocks=n, keys=["event_type"])
+    return co.map_batches(_describe, batch_size=None, batch_format="pyarrow")
+
+
 RELATIONAL_ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -602,6 +696,27 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
+    """,
+    "q39_status_priority_pivot": """
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q40_value_describe": """
+        SELECT event_type,
+               count(*) AS n,
+               round(sum(value), 2) / count(*) AS mean,
+               round(stddev_samp(value), 6) AS std,
+               min(value) AS min,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               max(value) AS max
+        FROM events GROUP BY event_type
     """,
     "q37_price_bands": """
         SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
@@ -683,5 +798,7 @@ RELATIONAL_QUERIES = {
     "q36_distinct_users": q36_distinct_users,
     "q37_price_bands": q37_price_bands,
     "q38_customers_no_orders": q38_customers_no_orders,
+    "q39_status_priority_pivot": q39_status_priority_pivot,
+    "q40_value_describe": q40_value_describe,
     "q28_purchase_last_view": q28_purchase_last_view,
 }

@@ -105,12 +105,14 @@ def condorcet_wins(
 
 
 def pivot_table(
-    table: pa.Table, *, index: str, columns: str, values: str
+    table: pa.Table, *, index: str, columns: str, values: str, fill_value=None
 ) -> pa.Table:
     """Head-to-head pivot (≙ A7, generate_decision_report.py:303-329): one
-    row per ``index`` value, one column per ``columns`` value. Driver-side —
-    inputs are small aggregates; a distributed pivot would be a groupby(index)
-    + map_groups building wide rows."""
+    row per ``index`` value, one column per ``columns`` value; missing cells
+    get ``fill_value`` (0 for counts keeps columns integer-typed, matching
+    conditional-aggregation SQL). Driver-side — inputs are small aggregates;
+    a distributed pivot would be a groupby(index) + map_groups building wide
+    rows."""
     idx_vals = sorted(set(table.column(index).to_pylist()))
     col_vals = sorted(set(table.column(columns).to_pylist()))
     cell: dict[tuple, object] = {}
@@ -118,7 +120,7 @@ def pivot_table(
         cell[(r[index], r[columns])] = r[values]
     out: dict[str, list] = {index: idx_vals}
     for c in col_vals:
-        out[str(c)] = [cell.get((i, c)) for i in idx_vals]
+        out[str(c)] = [cell.get((i, c), fill_value) for i in idx_vals]
     return pa.Table.from_pydict(out)
 
 
