@@ -474,10 +474,14 @@ def x_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def x_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5."""
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5 through
+    the scale path: verification joins text shards by doc_id (two
+    distributed hash joins) instead of broadcasting the text table — no node
+    holds the full corpus. The broadcast path (``verify_texts``) remains for
+    broadcastable corpora; a pytest asserts the two paths agree pair-for-pair."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(docs, threshold=0.5, verify_texts=texts)
+    verify = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, threshold=0.5, verify_docs=verify)
 
 
 def x_ann_lsh(sf_dir: str) -> ray.data.Dataset:
@@ -520,16 +524,16 @@ def x_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann_topk_ivf(corpus, queries, k=5)
 
 
-def x_minhash_groups(sf_dir: str) -> pa.Table:
+def x_minhash_groups(sf_dir: str) -> ray.data.Dataset:
     """Near-dup clusters: MinHash+LSH candidate pairs → Jaccard verify →
-    connected components (doc_id, cluster)."""
-    from ..stages.dedup import dup_groups_from_pairs
+    distributed connected components (doc_id, cluster) via iterated
+    min-label propagation — the pair set never touches the driver. The
+    driver union-find (``dup_groups_from_pairs``) remains for bounded pair
+    sets; a pytest asserts identical labels."""
+    from ..stages.dedup import dup_groups_distributed
 
     pairs_ds = x_minhash_pairs(sf_dir)
-    pairs = pa.Table.from_pylist(pairs_ds.take_all())
-    if pairs.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
-    return dup_groups_from_pairs(pairs)
+    return dup_groups_distributed(pairs_ds, num_partitions=8)
 
 
 def x_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:

@@ -1,0 +1,118 @@
+"""MinHash+LSH near-dedup: vectorized signer determinism, band explode
+shape, and pair-for-pair parity between the broadcast verify path and the
+sharded (join-by-doc_id) verify path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ocr_endpoint_project_ray.stages.dedup import (
+    MinHasher,
+    _bands_batch,
+    minhash_lsh_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in spain "
+    "falls mainly on the plain and every good boy deserves fudge today"
+)
+
+
+def _corpus() -> pa.Table:
+    texts = [
+        BASE,
+        BASE + " with one extra tail clause appended here",  # near-dup of 0
+        "completely different content about database systems and query planning",
+        "ray data streams arrow blocks through a pipelined executor with backpressure",
+        BASE.replace("fox", "wolf"),  # near-dup of 0
+        "short doc",  # < ngram words: single-shingle fallback
+        "",
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def test_minhasher_deterministic_across_instances():
+    a = MinHasher(num_perm=32, ngram=3, seed=7)
+    b = MinHasher(num_perm=32, ngram=3, seed=7)
+    for t in [BASE, "short doc", "one"]:
+        assert np.array_equal(a.signature(t), b.signature(t))
+    # empty text → zero signature, stable
+    assert np.array_equal(a.signature(""), np.zeros(32, np.uint64))
+    # near-identical docs share most minhash slots; disjoint docs share few
+    s0 = a.signature(BASE)
+    s1 = a.signature(BASE + " tail")
+    s2 = a.signature("unrelated words entirely about other topics and things")
+    assert (s0 == s1).mean() > (s0 == s2).mean()
+
+
+def test_bands_batch_vectorized_shape():
+    m = MinHasher(num_perm=16, ngram=3, seed=7)
+    tbl = m(_corpus())
+    out = _bands_batch(tbl, bands=4, rows=4)
+    assert out.column_names == ["band_key", "doc_id"]
+    assert out.num_rows == tbl.num_rows * 4
+    assert out.schema.field("band_key").type == pa.int64()
+    # identical docs collide in every band; doc-major repeat order
+    ids = out.column("doc_id").to_pylist()
+    assert ids[:4] == [0, 0, 0, 0]
+
+
+def test_verify_paths_agree():
+    corpus = _corpus()
+    docs = ray.data.from_arrow(corpus)
+
+    def norm(rows):
+        return sorted((r["doc_a"], r["doc_b"], round(r["jaccard_sim"], 9)) for r in rows)
+
+    bc = minhash_lsh_pairs(
+        docs, threshold=0.3, num_partitions=4, verify_texts=corpus
+    ).take_all()
+    jn = minhash_lsh_pairs(
+        ray.data.from_arrow(corpus),
+        threshold=0.3,
+        num_partitions=4,
+        verify_docs=ray.data.from_arrow(corpus),
+    ).take_all()
+    assert norm(bc) == norm(jn)
+    found = {(r["doc_a"], r["doc_b"]) for r in bc}
+    assert (0, 1) in found and (0, 4) in found
+    assert all(a < b for a, b in found)
+
+
+def test_distributed_components_match_union_find():
+    from ocr_endpoint_project_ray.stages.dedup import (
+        dup_groups_distributed,
+        dup_groups_from_pairs,
+    )
+
+    # multi-component graph incl. a chain (diameter 4 → forces several
+    # propagation rounds) and an isolated pair
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21), (30, 31), (31, 30)]
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    want = {r["doc_id"]: r["cluster"] for r in dup_groups_from_pairs(tbl).to_pylist()}
+    got_rows = dup_groups_distributed(
+        ray.data.from_arrow(tbl), num_partitions=4
+    ).take_all()
+    got = {r["doc_id"]: r["cluster"] for r in got_rows}
+    assert got == want
+    assert got[14] == 10 and got[21] == 20 and got[31] == 30
+
+
+def test_distributed_components_empty_pairs():
+    from ocr_endpoint_project_ray.stages.dedup import dup_groups_distributed
+
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    out = dup_groups_distributed(ray.data.from_arrow(empty), num_partitions=2).take_all()
+    assert out == []
