@@ -109,15 +109,33 @@ def strip_html_spans(batch: pa.Table) -> pa.Table:
 _PROCESS_ENGINE: dict | None = None
 
 
+def build_ocr_engine() -> dict:
+    """Build the per-process OCR engine descriptor.
+
+    Real branch (active the moment ``pytesseract`` + PIL land in the
+    container — reference semantics ``ocr_common.py:324-468``): ``media_ref``
+    is resolved as a local path / file-URI to image bytes and run through
+    ``pytesseract.image_to_string``. Until then, a clearly-marked
+    deterministic stub (digest placeholder matching
+    ``sources/corpus.fake_ocr``). Both report failures in-band."""
+    try:  # pragma: no cover - not installed in this container
+        import pytesseract
+        from PIL import Image
+
+        def _ocr(media_ref: str) -> str:
+            path = media_ref[len("file://"):] if media_ref.startswith("file://") else media_ref
+            with Image.open(path) as im:
+                return pytesseract.image_to_string(im).strip()
+
+        return {"kind": "tesseract", "ocr": _ocr}
+    except ImportError:
+        return {"kind": "stub"}
+
+
 def _get_process_engine() -> dict:
     global _PROCESS_ENGINE
     if _PROCESS_ENGINE is None:
-        try:  # pragma: no cover - not installed in this container
-            import pytesseract  # noqa: F401
-
-            _PROCESS_ENGINE = {"kind": "tesseract"}
-        except ImportError:
-            _PROCESS_ENGINE = {"kind": "stub"}
+        _PROCESS_ENGINE = build_ocr_engine()
     return _PROCESS_ENGINE
 
 
@@ -145,8 +163,10 @@ def _ocr_apply(batch: pa.Table, engine: dict) -> pa.Table:
             if engine["kind"] == "stub":
                 digest = hashlib.md5(refs[i].encode("utf-8")).hexdigest()[:12]
                 texts[i] = f"[ocr {digest}]"
-            else:  # pragma: no cover
-                raise NotImplementedError("real OCR engine path requires pytesseract")
+            elif "ocr" in engine:
+                texts[i] = engine["ocr"](refs[i])
+            else:
+                raise NotImplementedError(f"engine {engine['kind']!r} has no ocr callable")
         except Exception as e:  # in-band error, never an exception
             texts[i] = f"[page error: {type(e).__name__}]"
     return batch.set_column(
@@ -171,16 +191,13 @@ class OcrStage:
 
     MEDIA_KINDS = ("image_ref", "pdf_ref")
 
-    def __init__(self) -> None:
-        try:  # pragma: no cover - not installed in this container
-            import pytesseract  # noqa: F401
-
-            self._engine = "tesseract"
-        except ImportError:
-            self._engine = "stub"
+    def __init__(self, engine: dict | None = None) -> None:
+        # engine injectable for tests / custom providers; default resolves
+        # tesseract-or-stub once per actor
+        self._engine = engine or build_ocr_engine()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _ocr_apply(batch, {"kind": self._engine})
+        return _ocr_apply(batch, self._engine)
 
 
 # ---------------------------------------------------------------------------

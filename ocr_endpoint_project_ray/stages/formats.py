@@ -13,10 +13,30 @@ shape, in-band errors and payload-bounding loop are the real operators.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
 
 import pyarrow as pa
 
 import ray.data
+
+
+def _pymupdf():
+    """PyMuPDF module if installed, else None (stub fallback). Separated so
+    tests can monkeypatch a fake engine and exercise the real branches."""
+    try:  # pragma: no cover - not installed in this container
+        import fitz
+
+        return fitz
+    except ImportError:
+        return None
+
+
+def _soffice() -> str | None:
+    """LibreOffice binary for docx→pdf, or None (stub fallback)."""
+    return shutil.which("soffice") or shutil.which("libreoffice")
 
 _MAGIC = (
     (b"%PDF", "pdf"),
@@ -36,22 +56,45 @@ def sniff_format(payload: bytes | None) -> str:
     return "unknown"
 
 
+def _docx_to_pdf_soffice(payload: bytes, soffice: str) -> bytes:
+    """docx→pdf via a headless LibreOffice subprocess
+    (≙ ocr_common.py:252-297): write to a temp dir, convert, read back."""
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "doc.docx")
+        with open(src, "wb") as f:
+            f.write(payload)
+        subprocess.run(
+            [soffice, "--headless", "--convert-to", "pdf", "--outdir", tmp, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        with open(os.path.join(tmp, "doc.pdf"), "rb") as f:
+            return f.read()
+
+
 def _convert_to_pdf(payload: bytes, fmt: str) -> bytes:
     """Canonicalize to PDF bytes (≙ prepare_pdf_bytes dispatch, M1-M3).
 
-    STUB: real image→pdf needs PyMuPDF (ocr_common.py:233-249), docx→pdf a
-    LibreOffice subprocess (ocr_common.py:252-297). The stub wraps the
-    payload with a deterministic header so downstream stages see 'pdf'.
+    Real branches run the moment the converters land in the container:
+    image→pdf via PyMuPDF ``convert_to_pdf`` (ocr_common.py:233-249),
+    docx→pdf via headless LibreOffice (ocr_common.py:252-297). Without
+    them, a deterministic stub wraps the payload with a PDF header so
+    downstream stages see 'pdf'.
     """
     if fmt == "pdf":
         return payload
-    if fmt in ("png", "jpeg", "docx"):
-        try:  # pragma: no cover — converters not installed here
-            import fitz  # noqa: F401  (PyMuPDF)
-
-            raise NotImplementedError("real conversion path requires PyMuPDF/LibreOffice")
-        except ImportError:
-            return b"%PDF-stub\n" + hashlib.md5(payload).digest() + payload
+    if fmt in ("png", "jpeg"):
+        fitz = _pymupdf()
+        if fitz is not None:
+            with fitz.open(stream=payload, filetype=fmt) as img:
+                return img.convert_to_pdf()
+        return b"%PDF-stub\n" + hashlib.md5(payload).digest() + payload
+    if fmt == "docx":
+        soffice = _soffice()
+        if soffice is not None:
+            return _docx_to_pdf_soffice(payload, soffice)
+        return b"%PDF-stub\n" + hashlib.md5(payload).digest() + payload
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -81,11 +124,29 @@ def normalize_to_pdf_batch(batch: pa.Table, *, payload_col: str = "payload") -> 
 
 
 def pdf_page_count(payload: bytes | None) -> int:
-    """Page count, 0 on failure (≙ M5, ocr_common.py:222-230). STUB: derived
-    deterministically from the payload digest (1..8 pages)."""
+    """Page count, 0 on failure (≙ M5, ocr_common.py:222-230). Real branch
+    via PyMuPDF when present; stub derives 1..8 pages from the payload
+    digest."""
     if not payload or not payload.startswith(b"%PDF"):
         return 0
+    fitz = _pymupdf()
+    if fitz is not None:
+        try:
+            with fitz.open(stream=payload, filetype="pdf") as doc:
+                return doc.page_count
+        except Exception:
+            return 0
     return 1 + hashlib.md5(payload).digest()[0] % 8
+
+
+def _rasterize_pages(payload: bytes, *, dpi: int = 150) -> list[bytes] | None:
+    """PDF → per-page PNG bytes via PyMuPDF (≙ pdf_to_images,
+    ocr_common.py:207-219); None when the engine is absent (stub path)."""
+    fitz = _pymupdf()
+    if fitz is None:
+        return None
+    with fitz.open(stream=payload, filetype="pdf") as doc:
+        return [page.get_pixmap(dpi=dpi).tobytes("png") for page in doc]
 
 
 def pdf_to_pages_batch(batch: pa.Table, *, payload_col: str = "payload") -> pa.Table:
@@ -97,6 +158,16 @@ def pdf_to_pages_batch(batch: pa.Table, *, payload_col: str = "payload") -> pa.T
     payloads = batch.column(payload_col).to_pylist()
     out_ids, out_pages, out_payloads = [], [], []
     for doc_id, p in zip(ids, payloads):
+        try:
+            real = _rasterize_pages(p) if (p and p.startswith(b"%PDF")) else None
+        except Exception:
+            real = []  # broken pdf under a real engine → no pages (≙ count=0)
+        if real is not None:
+            for page, png in enumerate(real):
+                out_ids.append(doc_id)
+                out_pages.append(page)
+                out_payloads.append(png)
+            continue
         for page in range(pdf_page_count(p)):
             out_ids.append(doc_id)
             out_pages.append(page)
