@@ -192,6 +192,63 @@ def export_tables(
     with open(md_path, "w") as f:
         f.write(render_markdown_report(title, sorted(tables.items())))
     written["report.md"] = md_path
+    written.update(export_charts(tables, os.path.join(out_dir, "charts")))
+    return written
+
+
+def _plotly_express():
+    """plotly.express if installed, else None — separated so tests can
+    monkeypatch a fake and exercise the chart branch (plotly is absent from
+    this container)."""
+    try:  # pragma: no cover - not installed in this container
+        import plotly.express as px
+
+        return px
+    except ImportError:
+        return None
+
+
+def export_charts(
+    tables: dict[str, pa.Table], charts_dir: str, *, entity_col: str | None = None
+) -> dict[str, str]:
+    """Interactive chart sink (≙ S8 charts,
+    generate_decision_report.py:220-226 write_chart / build_charts): one
+    grouped-bar HTML per table — entities colored, one bar group per numeric
+    metric — written with ``include_plotlyjs='cdn'`` like the reference.
+    Driver-side over small aggregates; returns {} when plotly is absent
+    (same gate as the reference's ``if px is None``)."""
+    import os
+
+    px = _plotly_express()
+    if px is None:
+        return {}
+    written: dict[str, str] = {}
+    os.makedirs(charts_dir, exist_ok=True)
+    for name, table in tables.items():
+        df = table.to_pandas()
+        if entity_col is not None and entity_col in df.columns:
+            ecol = entity_col
+        else:
+            non_num = [c for c in df.columns if df[c].dtype == object]
+            ecol = non_num[0] if non_num else None
+        value_cols = [c for c in df.columns if c != ecol and df[c].dtype.kind in "if"]
+        if ecol is None or not value_cols:
+            continue
+        melted = df.melt(
+            id_vars=[ecol], value_vars=value_cols, var_name="metric", value_name="value"
+        )
+        fig = px.bar(
+            melted,
+            x="metric",
+            y="value",
+            color=ecol,
+            barmode="group",
+            title=name,
+            labels={"metric": "Metric", "value": "Value"},
+        )
+        path = os.path.join(charts_dir, f"{name}.html")
+        fig.write_html(path, include_plotlyjs="cdn", full_html=True)
+        written[f"charts/{name}.html"] = path
     return written
 
 

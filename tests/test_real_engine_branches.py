@@ -110,3 +110,43 @@ def test_stub_fallbacks_unchanged():
     p = formats._convert_to_pdf(b"\x89PNGrest", "png")
     assert p.startswith(b"%PDF-stub\n")
     assert 1 <= formats.pdf_page_count(p) <= 8
+
+
+def test_export_charts_with_fake_plotly(monkeypatch, tmp_path):
+    from ocr_endpoint_project_ray.pipelines import reports
+
+    calls = []
+
+    class _FakeFig:
+        def write_html(self, path, include_plotlyjs=None, full_html=None):
+            assert include_plotlyjs == "cdn" and full_html
+            with open(path, "w") as f:
+                f.write("<html>chart</html>")
+
+    class _FakePx:
+        def bar(self, melted, **kw):
+            calls.append((sorted(melted.columns), kw["color"], kw["barmode"]))
+            return _FakeFig()
+
+    monkeypatch.setattr(reports, "_plotly_express", lambda: _FakePx())
+    t = pa.table(
+        {
+            "model": pa.array(["a", "b"]),
+            "cer": pa.array([1.5, 2.5]),
+            "wer": pa.array([3.0, 4.0]),
+        }
+    )
+    out = reports.export_charts({"scores": t}, str(tmp_path / "charts"))
+    assert list(out) == ["charts/scores.html"]
+    assert calls == [(["metric", "model", "value"], "model", "group")]
+    assert open(out["charts/scores.html"]).read() == "<html>chart</html>"
+
+
+def test_export_charts_absent_plotly_noop(tmp_path):
+    from ocr_endpoint_project_ray.pipelines import reports
+
+    t = pa.table({"model": pa.array(["a"]), "cer": pa.array([1.0])})
+    assert reports.export_charts({"t": t}, str(tmp_path / "c")) == {}
+    # export_tables still works end-to-end without plotly
+    written = reports.export_tables({"t": t}, str(tmp_path / "out"))
+    assert "report.md" in written and not any(k.startswith("charts/") for k in written)
