@@ -148,32 +148,33 @@ def md5_hex_batch(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 _ROLL_BASE = np.uint64(1000003)
 
 
+#: Fingerprint field: Mersenne prime 2^31-1. Chosen (over wraparound-2^64)
+#: so the DuckDB oracle can mirror the arithmetic exactly — 64-bit products
+#: would overflow HUGEINT, (codepoint * pow) % p fits comfortably.
+_FP_MOD = 2147483647
+
+
 def rolling_fingerprint(text: str, window: int = 16) -> int:
-    """Document fingerprint: XOR of rolling polynomial hashes of
-    ``window``-byte windows (content-defined, shift-tolerant). Returns a
-    signed int64 (stable across platforms; numpy uint64 arithmetic mod 2^64).
-    """
-    data = (text or "").encode("utf-8")
-    if not data:
+    """Document fingerprint: XOR of rolling polynomial hashes (mod 2^31-1,
+    base ``_ROLL_BASE``) over ``window``-codepoint windows — content-derived
+    and shift-tolerant. Docs shorter than ``window`` hash their full
+    codepoint sequence. SQL-oracled (q42): DuckDB reproduces it with
+    unicode()/bit_xor over the same windows."""
+    cps = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cps)
+    if n == 0:
         return 0
-    if len(data) <= window:
-        h = np.uint64(0)
-        for b in data:
-            h = h * _ROLL_BASE + np.uint64(b + 1)
-        return int(h.astype(np.int64))
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
-    # powers of base, wrapping mod 2^64 (intentional)
+    w = min(window, n)
     pows = np.array(
-        [pow(int(_ROLL_BASE), i, 2**64) for i in range(window)], dtype=np.uint64
+        [pow(int(_ROLL_BASE), w - 1 - j, _FP_MOD) for j in range(w)], dtype=np.uint64
     )
-    # windowed dot product via strided view (vectorized, no per-window loop);
-    # XOR over ALL windows — truncating would make long documents sharing a
-    # prefix collide
-    with np.errstate(over="ignore"):
-        windows = np.lib.stride_tricks.sliding_window_view(arr, window)
-        hashes = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
-    acc = np.bitwise_xor.reduce(hashes)
-    return int(acc.astype(np.int64))
+    # per-term mod keeps everything < 2^52 (cp < 2^21, pow < 2^31): exact in
+    # uint64, no wraparound — the XOR over ALL windows keeps long shared
+    # prefixes from colliding
+    windows = np.lib.stride_tricks.sliding_window_view(cps, w)
+    terms = (windows * pows[None, :]) % np.uint64(_FP_MOD)
+    hashes = terms.sum(axis=1) % np.uint64(_FP_MOD)
+    return int(np.bitwise_xor.reduce(hashes.astype(np.int64)))
 
 
 # ---------------------------------------------------------------------------

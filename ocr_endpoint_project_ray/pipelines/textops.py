@@ -314,6 +314,57 @@ TEXT_ORACLES: dict[str, str] = {
     "q14_doc_dedup": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
     """,
+    # Mirrors stages/dedup.py::simhash_batch exactly: \S+ tokens (every
+    # occurrence votes), 64-bit md5-prefix token hash, per-bit sign-sum,
+    # two's-complement via the j=63 term contributing -2^63.
+    "q41_simhash": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS w
+            FROM documents),
+        hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM toks),
+        bits AS (
+            SELECT doc_id, j.j AS j,
+                   sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM hs CROSS JOIN (SELECT unnest(range(64)) AS j) j
+            GROUP BY doc_id, j.j),
+        acc AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v <= 0 THEN 0
+                                 WHEN j = 63 THEN -9223372036854775808
+                                 ELSE (1::BIGINT << CAST(j AS INTEGER)) END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN acc a USING (doc_id)
+    """,
+    # Mirrors functions/text.py::rolling_fingerprint: 16-codepoint windows
+    # (full doc when shorter), h = sum(cp * base^(w-1-j) mod p) mod p with
+    # p = 2^31-1, fingerprint = XOR over all window hashes. The pow table is
+    # precomputed (base 1000003 mod p).
+    "q42_rolling_fingerprint": """
+        WITH p(e, v) AS (VALUES
+            (0, 1), (1, 1000003), (2, 1426104154), (3, 1049561761),
+            (4, 1604566856), (5, 1953433226), (6, 2061642598), (7, 57298384),
+            (8, 1544709545), (9, 1274554124), (10, 633364108), (11, 66148026),
+            (12, 1433149184), (13, 206851044), (14, 1744706798), (15, 1828017126)),
+        d AS (SELECT doc_id, COALESCE(text, '') AS text,
+                     length(COALESCE(text, '')) AS n
+              FROM documents),
+        starts AS (
+            SELECT doc_id, text, n, LEAST(n, 16) AS w, t.s AS s
+            FROM d, unnest(range(GREATEST(n - 15, CASE WHEN n = 0 THEN 0 ELSE 1 END))) AS t(s)),
+        terms AS (
+            SELECT st.doc_id, st.s,
+                   (CAST(unicode(substr(st.text, CAST(st.s + j.j + 1 AS INTEGER), 1)) AS BIGINT)
+                    * p.v) % 2147483647 AS t
+            FROM starts st
+            JOIN (SELECT unnest(range(16)) AS j) j ON j.j < st.w
+            JOIN p ON p.e = st.w - 1 - j.j),
+        wh AS (SELECT doc_id, s, CAST(sum(t) % 2147483647 AS BIGINT) AS h
+               FROM terms GROUP BY doc_id, s),
+        fp AS (SELECT doc_id, bit_xor(h) AS fp64 FROM wh GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(fp.fp64, 0) AS fp64
+        FROM d LEFT JOIN fp USING (doc_id)
+    """,
     "q15_doc_fingerprint": """
         SELECT doc_id, md5(text) AS fp FROM documents
     """,
@@ -458,12 +509,16 @@ def x_langid(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_lid, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def x_simhash(sf_dir: str) -> ray.data.Dataset:
+def q41_simhash(sf_dir: str) -> ray.data.Dataset:
+    """SimHash per doc, SQL-oracled bit-for-bit (md5 token hashes +
+    DuckDB bit arithmetic reproduce the signed-int64 value)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def x_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+def q42_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Rolling mod-p codepoint-polynomial fingerprint per doc, SQL-oracled
+    (unicode()/bit_xor in DuckDB mirror the exact arithmetic)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _fp(b: pa.Table) -> pa.Table:
@@ -588,8 +643,8 @@ TEXT_QUERIES = {
     "q32_parse_error_categories": q32_parse_error_categories,
     "q30_distinct_pairs": q30_distinct_pairs,
     "x_langid": x_langid,
-    "x_simhash": x_simhash,
-    "x_rolling_fingerprint": x_rolling_fingerprint,
+    "q41_simhash": q41_simhash,
+    "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,
     "x_ann_lsh": x_ann_lsh,
     "x_ann_ivf": x_ann_ivf,

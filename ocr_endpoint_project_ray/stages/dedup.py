@@ -678,18 +678,42 @@ def dup_groups_from_pairs(pairs: pa.Table, *, id_cols: tuple[str, str] = ("doc_a
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_TOKEN_RE = None  # compiled lazily from the repo-wide TOKEN_RE
+
+
+def _md5_hash64(s: str) -> int:
+    """64-bit token hash = top 8 bytes of md5 — chosen over blake2b so the
+    DuckDB oracle can mirror it: ('0x' || substr(md5(w),1,16))::UBIGINT."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash per doc: sign-sum of token-hash bit vectors."""
+    """64-bit SimHash per doc: sign-sum of token-hash bit vectors.
+
+    Tokens are the repo-wide definition (``functions/text.py::TOKEN_RE``,
+    RE2 ``\\S+``), every occurrence voting; the token hash is md5-derived so
+    the q41 SQL oracle reproduces the value bit-for-bit. Empty/whitespace-only
+    docs hash to 0; output is the signed-int64 two's complement of the bit
+    vector."""
+    global _SIMHASH_TOKEN_RE
+    if _SIMHASH_TOKEN_RE is None:
+        import re
+
+        from ..functions.text import TOKEN_RE
+
+        _SIMHASH_TOKEN_RE = re.compile(TOKEN_RE)
     texts = batch.column(text_col).to_pylist()
     out = []
+    cache: dict[str, int] = {}
     for t in texts:
-        from ..functions.text import normalize_words
-
-        words = normalize_words(t or "")
+        words = _SIMHASH_TOKEN_RE.findall(t or "")
         if not words:
             out.append(0)
             continue
-        hs = np.array([_stable_hash64(w) for w in words], dtype=np.uint64)
+        for w in words:
+            if w not in cache:
+                cache[w] = _md5_hash64(w)
+        hs = np.fromiter((cache[w] for w in words), dtype=np.uint64, count=len(words))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int64
         )
