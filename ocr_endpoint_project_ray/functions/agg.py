@@ -164,3 +164,18 @@ def round_columns(ds: ray.data.Dataset, cols: list[str], ndigits: int) -> ray.da
         return batch
 
     return ds.map_batches(_round, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_cont_sorted(sorted_seg, q: float) -> float:
+    """SQL ``quantile_cont`` over an already-sorted numpy segment, in
+    DuckDB's exact operation order: ``(1-frac)*lower + frac*upper``.
+    (``np.percentile``'s algebraically-equal expression differs by an ulp,
+    which an exact value-hash comparison notices.) Shared by the q34/q40
+    per-group kernels and property-tested against DuckDB."""
+    import numpy as np
+
+    h = q * (len(sorted_seg) - 1)
+    lo = int(np.floor(h))
+    frac = h - lo
+    hi = min(lo + 1, len(sorted_seg) - 1)
+    return float((1 - frac) * sorted_seg[lo] + frac * sorted_seg[hi])

@@ -377,15 +377,7 @@ def q34_value_quantiles(sf_dir: str) -> ray.data.Dataset:
         keys = np.asarray(b.column("event_type").to_pylist())
         vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
 
-        def quantile_cont(sorted_seg: np.ndarray, q: float) -> float:
-            # SQL quantile_cont semantics, in DuckDB's exact operation order:
-            # (1-frac)*lower + frac*upper (np.percentile's expression differs
-            # by an ulp, which an exact value-hash comparison notices)
-            h = q * (len(sorted_seg) - 1)
-            lo = int(np.floor(h))
-            frac = h - lo
-            hi = min(lo + 1, len(sorted_seg) - 1)
-            return float((1 - frac) * sorted_seg[lo] + frac * sorted_seg[hi])
+        from ..functions.agg import quantile_cont_sorted as quantile_cont
 
         # vectorized run boundaries over the (key, value)-sorted block
         m = len(keys)
@@ -577,13 +569,7 @@ def q40_value_describe(sf_dir: str) -> ray.data.Dataset:
         keys = np.asarray(b.column("event_type").to_pylist())
         vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
 
-        def quantile_cont(sorted_seg: np.ndarray, q: float) -> float:
-            # DuckDB quantile_cont's exact operation order (see q34)
-            h = q * (len(sorted_seg) - 1)
-            lo = int(np.floor(h))
-            frac = h - lo
-            hi = min(lo + 1, len(sorted_seg) - 1)
-            return float((1 - frac) * sorted_seg[lo] + frac * sorted_seg[hi])
+        from ..functions.agg import quantile_cont_sorted as quantile_cont
 
         m = len(keys)
         starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]

@@ -185,3 +185,30 @@ def test_explode_roundtrip():
     assert flat.num_rows == 3
     back = reassemble_spans(ray.data.from_arrow(flat), num_partitions=2).take_all()
     assert back[0]["spans"] == spans
+
+
+@settings(deadline=None, max_examples=40, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=200,
+    ),
+    q=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 0.95]),
+)
+def test_quantile_cont_matches_duckdb(vals, q):
+    """The shared q34/q40 quantile kernel must equal DuckDB quantile_cont
+    bit-for-bit at any group size (incl. 1, 2, ties, duplicates)."""
+    import duckdb
+    import numpy as np
+
+    from ocr_endpoint_project_ray.functions.agg import quantile_cont_sorted
+
+    seg = np.sort(np.asarray(vals, dtype=np.float64))
+    got = quantile_cont_sorted(seg, q)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+    con.close()
+    assert got == want, (got, want, len(vals), q)
