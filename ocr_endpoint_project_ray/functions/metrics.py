@@ -33,8 +33,11 @@ def edit_distance(ref: list | str, hyp: list | str) -> int:
         return len(hyp)
     if not hyp:
         return len(ref)
-    r = np.asarray([hash(x) for x in ref], dtype=np.int64)
-    h = np.asarray([hash(x) for x in hyp], dtype=np.int64)
+    # interning dict → ids: collision-free by construction (Python hash()
+    # could collide two distinct tokens and silently undercount edits)
+    ids: dict = {}
+    r = np.asarray([ids.setdefault(x, len(ids)) for x in ref], dtype=np.int64)
+    h = np.asarray([ids.setdefault(x, len(ids)) for x in hyp], dtype=np.int64)
     m = len(h)
     idx = np.arange(1, m + 1, dtype=np.int64)
     prev = np.arange(0, m + 1, dtype=np.int64)
