@@ -154,13 +154,19 @@ def hash_join(
     join_type: str = "inner",
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Large×large distributed hash join (both sides shuffle by key)."""
+    """Large×large distributed hash join (both sides shuffle by key).
+
+    The Join operator spawns one aggregator actor per partition, so the
+    default is deliberately conservative (≤16 on a single node — 64 actors
+    at 32 CPUs is startup-bound and measured to stall a query sweep); at
+    multi-node scale pass an explicit ``num_partitions`` sized to the
+    cluster so per-partition memory stays bounded."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions or default_num_partitions(),
+        num_partitions=num_partitions or min(default_num_partitions(per_cpu=1), 16),
         on=on,
         right_on=right_on,
     )

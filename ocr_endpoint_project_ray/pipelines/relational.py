@@ -171,9 +171,15 @@ def q07_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     cust_dim = broadcast_join(
         cust, nation, left_on="c_nationkey", right_on="n_nationkey", how="inner"
     ).drop_columns(["c_nationkey"])
+    from ..context import default_num_partitions
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     per_cust = grouped_agg(orders, ["o_custkey"], [Agg("revenue", "o_totalprice", "sum")])
-    joined = hash_join(per_cust, cust_dim, on="o_custkey", right_on="c_custkey")
+    # join partitions explicitly capped: the Join operator spawns one
+    # aggregator actor per partition (uncapped default = 64 actors at 32
+    # CPUs, startup-bound; measured hang in the full bench sweep)
+    n = min(default_num_partitions(per_cpu=1), 16)
+    joined = hash_join(per_cust, cust_dim, on="o_custkey", right_on="c_custkey", num_partitions=n)
     out = grouped_agg(joined, ["n_name"], [Agg("revenue", "revenue", "sum")])
     return round_columns(out, ["revenue"], 2)
 

@@ -528,13 +528,25 @@ def q42_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_fp, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: Text tables under this many bytes on disk broadcast for Jaccard verify;
+#: larger corpora use the sharded (join-by-doc_id) verify path.
+_BROADCAST_VERIFY_BYTES = 1 << 30
+
+
 def x_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5 through
-    the scale path: verification joins text shards by doc_id (two
-    distributed hash joins) instead of broadcasting the text table — no node
-    holds the full corpus. The broadcast path (``verify_texts``) remains for
-    broadcastable corpora; a pytest asserts the two paths agree pair-for-pair."""
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.5.
+
+    Verification is size-dispatched: while the text table fits a worker
+    heap it broadcasts once (ray.put) — two extra all-to-all shuffles of the
+    corpus would cost far more; past ``_BROADCAST_VERIFY_BYTES`` the sharded
+    path joins text shards by doc_id so no node holds the corpus. A pytest
+    asserts the two paths agree pair-for-pair."""
+    import os
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    if os.path.getsize(f"{sf_dir}/documents.parquet") <= _BROADCAST_VERIFY_BYTES:
+        texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_lsh_pairs(docs, threshold=0.5, verify_texts=texts)
     verify = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_pairs(docs, threshold=0.5, verify_docs=verify)
 
@@ -581,14 +593,14 @@ def x_ann_ivf(sf_dir: str) -> ray.data.Dataset:
 
 def x_minhash_groups(sf_dir: str) -> ray.data.Dataset:
     """Near-dup clusters: MinHash+LSH candidate pairs → Jaccard verify →
-    distributed connected components (doc_id, cluster) via iterated
-    min-label propagation — the pair set never touches the driver. The
-    driver union-find (``dup_groups_from_pairs``) remains for bounded pair
-    sets; a pytest asserts identical labels."""
-    from ..stages.dedup import dup_groups_distributed
+    connected components (doc_id, cluster). Size-dispatched: bounded pair
+    sets use driver union-find, large ones the distributed min-label
+    propagation (``dup_groups_distributed``); a pytest asserts the two paths
+    label identically."""
+    from ..stages.dedup import dup_groups_auto
 
     pairs_ds = x_minhash_pairs(sf_dir)
-    return dup_groups_distributed(pairs_ds, num_partitions=8)
+    return dup_groups_auto(pairs_ds, num_partitions=8)
 
 
 def x_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
