@@ -53,7 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(RELATIONAL_QUERIES)
     out.update(TEXT_QUERIES)
-    out["x_extract_spans"] = _extract_query
+    out["q43_extract_spans"] = _extract_query
     out["q24_parse_validity_rates"] = q24_parse_validity_rates
     out["x_structured_parse"] = x_structured_parse
     out["x_extraction_scores"] = x_extraction_scores
@@ -61,9 +61,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+#: SQL twin of the FLAGSHIP extraction pipeline (corpus synthesis → strip →
+#: OCR → reassembly → explode). The synthetic corpus and the extraction
+#: semantics are both pure functions of (doc_id, text) (sources/corpus.py),
+#: so DuckDB reproduces the full expected span table: \S+ word split →
+#: 12-word segments → ×20 tiling for doc_id%97==0 mega-docs → kind cycle
+#: (i + doc_id%3)%3 → html segments reduce to the segment (or the 'Page'
+#: title when ≤4 chars — the block-selection fallback, validated against
+#: strip_boilerplate over every corpus segment) → media spans get the
+#: deterministic md5 stub-OCR text. Exercises the whole engine path
+#: end-to-end: explode, kind dispatch, salting, two-phase keyed reassembly.
+Q43_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS tk
+        FROM documents),
+    words AS (
+        SELECT doc_id, t.i AS wi, tk[CAST(t.i + 1 AS INTEGER)] AS tok
+        FROM toks, unnest(range(len(tk))) AS t(i)),
+    segs AS (
+        SELECT doc_id, CAST(wi // 12 AS BIGINT) AS si,
+               string_agg(tok, ' ' ORDER BY wi) AS seg
+        FROM words GROUP BY doc_id, wi // 12),
+    nseg AS (SELECT doc_id, count(*) AS n FROM segs GROUP BY doc_id),
+    tiled AS (
+        SELECT s.doc_id, r.r * ns.n + s.si AS i, s.seg
+        FROM segs s
+        JOIN nseg ns USING (doc_id),
+        unnest(range(CASE WHEN s.doc_id % 97 = 0 THEN 20 ELSE 1 END)) AS r(r)),
+    spans AS (
+        SELECT printf('doc%010d', doc_id) AS doc_str, i,
+               CAST((i + doc_id % 3) % 3 AS INTEGER) AS sel, seg
+        FROM tiled)
+    SELECT doc_str AS doc_id,
+           CAST(i AS INTEGER) AS "offset",
+           CASE WHEN sel = 2 THEN 'image_ref' ELSE 'text' END AS kind,
+           CASE WHEN sel = 2
+                THEN '[ocr ' || substr(md5('media://' || doc_str || '/' || i), 1, 12) || ']'
+                WHEN sel = 1 AND length(seg) <= 4 THEN 'Page'
+                ELSE seg END AS text,
+           CASE WHEN sel = 2 THEN 'media://' || doc_str || '/' || i ELSE '' END AS media_ref
+    FROM spans
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
     out.update(TEXT_ORACLES)
     out["q24_parse_validity_rates"] = Q24_ORACLE
+    out["q43_extract_spans"] = Q43_ORACLE
     return out
