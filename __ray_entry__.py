@@ -31,6 +31,7 @@ from ocr_endpoint_project_ray.pipelines.scoring import (
 )
 from ocr_endpoint_project_ray.pipelines.structured import (
     Q24_ORACLE,
+    Q44_ORACLE,
     q24_parse_validity_rates,
     x_structured_parse,
 )
@@ -55,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(TEXT_QUERIES)
     out["q43_extract_spans"] = _extract_query
     out["q24_parse_validity_rates"] = q24_parse_validity_rates
-    out["x_structured_parse"] = x_structured_parse
+    out["q44_structured_parse"] = x_structured_parse
     out["x_extraction_scores"] = x_extraction_scores
     out["x_score_summary"] = x_score_summary
     return out
@@ -110,4 +111,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(TEXT_ORACLES)
     out["q24_parse_validity_rates"] = Q24_ORACLE
     out["q43_extract_spans"] = Q43_ORACLE
+    out["q44_structured_parse"] = Q44_ORACLE
     return out

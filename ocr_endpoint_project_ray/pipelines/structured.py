@@ -146,6 +146,21 @@ def x_structured_parse(sf_dir: str) -> ray.data.Dataset:
     return out.drop_columns(["record_json"])
 
 
+#: Per-row oracle for the structured-parse pipeline: the stub model's
+#: failure modes are a pure function of doc_id%4, and on this corpus every
+#: parseable record round-trips (strip-extra-keys → cleaned == golden →
+#: leaf accuracy 100). Verifies doc coverage, the parse/validate flags, the
+#: in-band error taxonomy, and the score column per document.
+Q44_ORACLE = """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS TINYINT) AS json_valid,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS TINYINT) AS schema_valid,
+           CASE WHEN doc_id % 4 = 3 THEN 0.0 ELSE 100.0 END AS accuracy_pct,
+           CASE WHEN doc_id % 4 = 3 THEN 'PARSING_JSON_INVALID' ELSE NULL END AS error
+    FROM documents
+"""
+
+
 def q24_parse_validity_rates(sf_dir: str) -> ray.data.Dataset:
     """Per-failure-mode validity rates (≙ A2 boolean-rate means): group by
     doc_id%4 (the stub's injected failure mode) — SQL-oracled because the

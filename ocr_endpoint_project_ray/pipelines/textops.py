@@ -497,8 +497,11 @@ TEXT_ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 
-def x_langid(sf_dir: str) -> ray.data.Dataset:
-    """Stopword-heuristic language ID per doc."""
+def q45_langid(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-heuristic language ID per doc — SQL-oracled: the heuristic
+    (distinct first-512 normalized words ∩ per-language stopword sets,
+    argmax with lexicographic tiebreak) is mirrored exactly in DuckDB from
+    the same ``_STOPWORDS`` constant (ASCII corpus, verified)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _lid(b: pa.Table) -> pa.Table:
@@ -637,6 +640,42 @@ def x_media_features(sf_dir: str) -> ray.data.Dataset:
     return media_features(media, concurrency=(1, 4), batch_size=128)
 
 
+def _langid_oracle_sql() -> str:
+    """Build the q45 oracle from the engine's own _STOPWORDS constant, so
+    the two sides can never drift."""
+    from ..functions.text import _STOPWORDS
+
+    rows = ",\n            ".join(
+        f"('{lang}', '{w}')" for lang in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+        WITH sw(lang, word) AS (VALUES
+            {rows}),
+        w0 AS (
+            SELECT doc_id,
+                   regexp_extract_all(
+                       regexp_replace(lower(text), '[^a-z0-9_ ]', ' ', 'g'),
+                       '[^ ]+') AS toks
+            FROM documents),
+        w AS (
+            SELECT DISTINCT doc_id, toks[CAST(t.i + 1 AS INTEGER)] AS word
+            FROM w0, unnest(range(LEAST(len(toks), 512))) AS t(i)),
+        hits AS (
+            SELECT w.doc_id, sw.lang, count(*) AS n
+            FROM w JOIN sw ON w.word = sw.word GROUP BY w.doc_id, sw.lang),
+        best AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+            FROM hits)
+        SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+
+TEXT_ORACLES["q45_langid"] = _langid_oracle_sql()
+
+
 TEXT_QUERIES = {
     "q14_doc_dedup": q14_doc_dedup,
     "q15_doc_fingerprint": q15_doc_fingerprint,
@@ -654,7 +693,7 @@ TEXT_QUERIES = {
     "q33_quality_filter": q33_quality_filter,
     "q32_parse_error_categories": q32_parse_error_categories,
     "q30_distinct_pairs": q30_distinct_pairs,
-    "x_langid": x_langid,
+    "q45_langid": q45_langid,
     "q41_simhash": q41_simhash,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,
