@@ -196,6 +196,65 @@ def q32_parse_error_categories(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q46_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Global heavy hitters: top-20 tokens by total occurrences — the
+    vocabulary-building / heavy-hitter aggregation a tokenizer-training
+    pipeline runs over the whole corpus.
+
+    Scale shape: per-block vectorized tokenize + ``value_counts`` (the
+    combiner — each block shrinks to its local vocabulary before any
+    shuffle) → keyed repartition of (token, partial_count) → per-block final
+    sum + local top-k → tiny global sort + limit. The only all-to-all moves
+    vocabulary-sized data, never the corpus. Tokens are the repo-wide
+    ``TOKEN_RE`` definition; ties break on token asc so the cut at rank 20
+    is deterministic on both engines."""
+    from ..context import default_num_partitions
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    n = min(default_num_partitions(per_cpu=1), 8)
+    K = 20
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n_occurrences": pa.array([], pa.int64())}
+            )
+        toks = pc.split_pattern_regex(
+            pc.coalesce(b.column("text"), ""), "[ \t\n\r\f\v]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))  # split artifacts at edges
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n_occurrences": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "token" not in b.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n_occurrences": pa.array([], pa.int64())}
+            )
+        out = b.group_by(["token"], use_threads=False).aggregate([("n_occurrences", "sum")])
+        out = out.rename_columns(
+            ["n_occurrences" if c == "n_occurrences_sum" else c for c in out.column_names]
+        )
+        out = out.select(["token", "n_occurrences"])
+        # local top-k: every token is fully aggregated in exactly one block
+        # (keyed repartition), so the global top-k ⊆ union of block top-ks
+        idx = pc.sort_indices(
+            out, sort_keys=[("n_occurrences", "descending"), ("token", "ascending")]
+        )
+        return out.take(idx[:K])
+
+    partial = ds.map_batches(_partial, batch_size=None, batch_format="pyarrow")
+    co = partial.repartition(num_blocks=n, keys=["token"])
+    tops = co.map_batches(_final, batch_size=None, batch_format="pyarrow")
+    return tops.sort(["n_occurrences", "token"], descending=[True, False]).limit(K)
+
+
 def q33_quality_filter(sf_dir: str) -> ray.data.Dataset:
     """Training-corpus quality filter (C4/CCNet-style rule stack): token
     bounds, alphabetic-density floor, word-diversity floor; emits keep +
@@ -317,6 +376,15 @@ TEXT_ORACLES: dict[str, str] = {
     # Mirrors stages/dedup.py::simhash_batch exactly: \S+ tokens (every
     # occurrence votes), 64-bit md5-prefix token hash, per-bit sign-sum,
     # two's-complement via the j=63 term contributing -2^63.
+    "q46_top_terms": """
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(regexp_extract_all(text, '[^ 	
+]+')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 20
+    """,
     "q41_simhash": """
         WITH toks AS (
             SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS w
@@ -694,6 +762,7 @@ TEXT_QUERIES = {
     "q32_parse_error_categories": q32_parse_error_categories,
     "q30_distinct_pairs": q30_distinct_pairs,
     "q45_langid": q45_langid,
+    "q46_top_terms": q46_top_terms,
     "q41_simhash": q41_simhash,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,
