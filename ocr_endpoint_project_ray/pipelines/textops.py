@@ -323,6 +323,62 @@ def q29_hash_sample(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_sample, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q47_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Stratified deterministic sample: exactly k=3 docs per language,
+    ranked by content md5 — the "sample k per stratum" primitive for
+    training-data inspection/eval splits, reproducible on any cluster.
+
+    Scale shape: hash rank computed per block (vectorized md5 + doc_id
+    tiebreak), per-block top-k per stratum (combiner — global top-k ⊆ union
+    of block top-ks for fully-local ranks) → keyed repartition on the
+    stratum → per-block final top-k. Only k×strata×blocks rows shuffle."""
+    from ..context import default_num_partitions
+
+    K = 3
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n = min(default_num_partitions(per_cpu=1), 8)
+
+    def _rank_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "lang" not in b.column_names:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.string()),
+                }
+            )
+        if "rk" not in b.column_names:
+            b = pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "doc_id": b.column("doc_id"),
+                    "rk": md5_hex_batch(b.column("text")),
+                }
+            )
+        b = b.take(
+            pc.sort_indices(
+                b,
+                sort_keys=[("lang", "ascending"), ("rk", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        import numpy as np
+
+        langs = np.asarray(b.column("lang").to_pylist())
+        new_grp = np.concatenate(([True], langs[1:] != langs[:-1]))
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(langs)), 0))
+        keep = (np.arange(len(langs)) - grp_start) < K
+        return b.filter(pa.array(keep))
+
+    local = ds.map_batches(_rank_topk, batch_size=None, batch_format="pyarrow")
+    co = local.repartition(num_blocks=n, keys=["lang"])
+    final = co.map_batches(_rank_topk, batch_size=None, batch_format="pyarrow")
+    return final.map_batches(
+        lambda b: b.select(["lang", "doc_id"]) if "lang" in b.column_names else b,
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
 def q30_distinct_pairs(sf_dir: str) -> ray.data.Dataset:
     """Distinct (lang, source) pairs — dataset-level dedup via keyed
     first-of-run (no full sort)."""
@@ -379,7 +435,8 @@ TEXT_ORACLES: dict[str, str] = {
     "q46_top_terms": """
         SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occurrences
         FROM (SELECT unnest(regexp_extract_all(text, '[^ 	
-]+')) AS tok
+
+]+')) AS tok
               FROM documents)
         GROUP BY tok
         ORDER BY n_occurrences DESC, token ASC
@@ -529,6 +586,14 @@ TEXT_ORACLES: dict[str, str] = {
     """,
     "q29_hash_sample": """
         SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 1) = '0'
+    """,
+    "q47_stratified_sample": """
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(text) ASC, doc_id ASC) AS rn
+            FROM documents)
+        WHERE rn <= 3
     """,
     "q30_distinct_pairs": """
         SELECT DISTINCT lang, source FROM documents
@@ -763,6 +828,7 @@ TEXT_QUERIES = {
     "q30_distinct_pairs": q30_distinct_pairs,
     "q45_langid": q45_langid,
     "q46_top_terms": q46_top_terms,
+    "q47_stratified_sample": q47_stratified_sample,
     "q41_simhash": q41_simhash,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,
