@@ -527,6 +527,19 @@ def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q48_rolling_window(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate (custom operator — Ray Data has no window
+    functions): per event, the trailing-1-hour event count and value sum for
+    its user. Keyed repartition co-locates each user; per-block prefix sums
+    + two vectorized searchsorted calls per user replace the per-row frame
+    scan. Oracle: SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW."""
+    from ..stages.windows import rolling_window
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return rolling_window(ds, window_us=3_600_000_000)
+
+
 def q39_status_priority_pivot(sf_dir: str) -> pa.Table:
     """Head-to-head pivot (≙ A7, generate_decision_report.py:303-329):
     distributed two-key grouped count shrinks orders to ≤15 cells, then the
@@ -695,6 +708,14 @@ RELATIONAL_ORACLES: dict[str, str] = {
             WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
     """,
+    "q48_rolling_window": """
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_window,
+               round(sum(value) OVER w, 2) AS sum_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
     "q39_status_priority_pivot": """
         SELECT o_orderstatus,
                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
@@ -798,5 +819,6 @@ RELATIONAL_QUERIES = {
     "q38_customers_no_orders": q38_customers_no_orders,
     "q39_status_priority_pivot": q39_status_priority_pivot,
     "q40_value_describe": q40_value_describe,
+    "q48_rolling_window": q48_rolling_window,
     "q28_purchase_last_view": q28_purchase_last_view,
 }

@@ -93,3 +93,71 @@ def sessionize(
         zero_copy_batch=True,
         fn_kwargs={"gap_us": gap_us},
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (RANGE-frame) windowed aggregate
+# ---------------------------------------------------------------------------
+
+
+def _rolling_block(batch: pa.Table, window_us: int) -> pa.Table:
+    """Per-block kernel: rows co-located per user (keyed repartition);
+    rolling count/sum over the SQL RANGE frame
+    ``[ts - window, ts]`` *including all peers of the current ts* (RANGE
+    ... AND CURRENT ROW spans every row whose ORDER BY value equals the
+    current row's). Two searchsorted calls per user run over prefix sums —
+    no per-row loop."""
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table({})
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+    )
+    users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    m = len(users)
+    starts = np.nonzero(np.concatenate(([True], users[1:] != users[:-1])))[0]
+    ends = np.concatenate((starts[1:], [m]))
+    n_out = np.empty(m, dtype=np.int64)
+    sum_out = np.empty(m, dtype=np.float64)
+    for s, e in zip(starts, ends):
+        seg_ts = ts[s:e]
+        prefix = np.concatenate(([0.0], np.cumsum(vals[s:e])))
+        lo = np.searchsorted(seg_ts, seg_ts - window_us, side="left")
+        hi = np.searchsorted(seg_ts, seg_ts, side="right")  # peers included
+        n_out[s:e] = hi - lo
+        sum_out[s:e] = prefix[hi] - prefix[lo]
+    return pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "n_window": pa.array(n_out),
+            "sum_value": py_round_array(pa.array(sum_out, pa.float64()), 2),
+        }
+    )
+
+
+def rolling_window(
+    events: ray.data.Dataset,
+    *,
+    window_us: int = 3_600_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Sliding-window aggregate per user (SQL ``RANGE BETWEEN INTERVAL ...
+    PRECEDING AND CURRENT ROW``): rolling event count + value sum over the
+    trailing window for every event. Needs columns (user_id, event_id, ts,
+    value). Sum rounded at the value quantum (2dp) so the prefix-difference
+    float noise can't flip an exact oracle comparison."""
+    ensure_hash_shuffle()
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
+    co = events.repartition(num_blocks=n, keys=["user_id"])
+    return co.map_batches(
+        _rolling_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"window_us": window_us},
+    )
