@@ -587,6 +587,22 @@ TEXT_ORACLES: dict[str, str] = {
     "q29_hash_sample": """
         SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 1) = '0'
     """,
+    "q49_frame_sample": """
+        WITH m AS (
+            SELECT printf('doc%010d', doc_id) AS doc_str,
+                   'media://' || printf('doc%010d', doc_id) || '/' || j.j AS media_ref
+            FROM documents, unnest(range(2)) AS j(j)),
+        t AS (
+            SELECT doc_str, media_ref,
+                   ('0x' || substr(md5(media_ref), 3, 2))::INT % 3 AS tsel,
+                   ('0x' || substr(md5(media_ref), 5, 2))::INT % 5 AS nsel
+            FROM m)
+        SELECT doc_str AS doc_id, media_ref,
+               CAST(f.f AS INTEGER) AS frame_no,
+               media_ref || '#' || f.f AS frame_ref
+        FROM t, unnest(range(nsel + 1)) AS f(f)
+        WHERE tsel = 2
+    """,
     "q47_stratified_sample": """
         SELECT lang, doc_id FROM (
             SELECT lang, doc_id,
@@ -748,6 +764,38 @@ def x_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     return approx_distinct(ds, ["event_type"], "user_id")
 
 
+def q49_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Temporal-media explode: synthesized media rows → video subset →
+    actor-pool frame sampling (1→N, order carried in frame_no). The stub
+    sampler's frame set is a pure function of the media_ref, so the SQL
+    oracle reproduces (doc_id, media_ref, frame_no, frame_ref) exactly."""
+    from ..sources.corpus import doc_id_str
+    from ..stages.media import sample_frames, synth_media_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _refs(b: pa.Table) -> pa.Table:
+        ids, refs = [], []
+        for i in b.column("doc_id").to_pylist():
+            d = doc_id_str(i)
+            for j in range(2):
+                ids.append(d)
+                refs.append(f"media://{d}/{j}")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.string()), "media_ref": pa.array(refs, pa.string())}
+        )
+
+    media = docs.map_batches(_refs, batch_size=None, batch_format="pyarrow").map_batches(
+        synth_media_batch, batch_size=None, batch_format="pyarrow"
+    )
+    frames = sample_frames(media, concurrency=(1, 4), batch_size=128)
+    return frames.map_batches(
+        lambda b: b.select(["doc_id", "media_ref", "frame_no", "frame_ref"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
 def x_media_features(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: synthesize media refs → fake payloads →
     actor-pool decode/feature stage (stubbed decode, real Ray plumbing)."""
@@ -829,6 +877,7 @@ TEXT_QUERIES = {
     "q45_langid": q45_langid,
     "q46_top_terms": q46_top_terms,
     "q47_stratified_sample": q47_stratified_sample,
+    "q49_frame_sample": q49_frame_sample,
     "q41_simhash": q41_simhash,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "x_minhash_pairs": x_minhash_pairs,

@@ -139,3 +139,111 @@ def media_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class FrameSampleStage:
+    """Video → sampled frame rows (the 1→N flat_map shape for temporal
+    media). Real branch decodes with PyAV when present (evenly-strided
+    sample capped at ``max_frames``); this container lacks libav, so the
+    stub emits a deterministic frame set (count = 1 + md5(ref)[2] % 5,
+    payload digest-derived) — the Ray plumbing (actor pool, explode shape,
+    in-band errors, frame order carried in ``frame_no``) is real. A custom
+    ``sampler`` callable (payload → list[bytes]) is injectable for tests /
+    other decoders.
+    """
+
+    def __init__(self, max_frames: int = 8, sampler=None) -> None:
+        self._max_frames = max_frames
+        self._sampler = sampler
+        if sampler is not None:
+            self._engine = "custom"
+        else:
+            try:  # pragma: no cover — not installed in this container
+                import av  # noqa: F401
+
+                self._engine = "av"
+            except ImportError:
+                self._engine = "stub"
+
+    def _real_frames(self, payload: bytes) -> list[bytes]:  # pragma: no cover
+        import io
+
+        import av
+
+        out: list[bytes] = []
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            total = stream.frames or 0
+            step = max(1, total // self._max_frames) if total else 1
+            for i, frame in enumerate(container.decode(stream)):
+                if i % step == 0:
+                    out.append(frame.to_ndarray(format="rgb24").tobytes())
+                if len(out) >= self._max_frames:
+                    break
+        return out
+
+    def _frames(self, ref: str, payload: bytes) -> list[bytes]:
+        if self._engine == "custom":
+            return self._sampler(payload)
+        if self._engine == "av":  # pragma: no cover
+            return self._real_frames(payload)
+        seed = hashlib.md5(ref.encode()).digest()
+        n = min(1 + seed[2] % 5, self._max_frames)
+        return [
+            hashlib.md5(payload + i.to_bytes(2, "little")).digest() for i in range(n)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "media_ref", "frame_no", "frame_ref", "frame_payload", "error")}
+        for doc_id, ref, mt, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mt != "video":
+                continue
+            try:
+                frames = self._frames(ref, payload or b"")
+                for i, fp in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(ref)
+                    out["frame_no"].append(i)
+                    out["frame_ref"].append(f"{ref}#{i}")
+                    out["frame_payload"].append(fp)
+                    out["error"].append(None)
+            except Exception as e:  # in-band, one poison video ≠ dead job
+                out["doc_id"].append(doc_id)
+                out["media_ref"].append(ref)
+                out["frame_no"].append(-1)
+                out["frame_ref"].append(None)
+                out["frame_payload"].append(None)
+                out["error"].append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "frame_no": pa.array(out["frame_no"], pa.int32()),
+                "frame_ref": pa.array(out["frame_ref"], pa.string()),
+                "frame_payload": pa.array(out["frame_payload"], pa.large_binary()),
+                "error": pa.array(out["error"], pa.string()),
+            }
+        )
+
+
+def sample_frames(
+    media: ray.data.Dataset,
+    *,
+    max_frames: int = 8,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Frame-sample video rows on an actor pool (1→N explode)."""
+    return media.map_batches(
+        FrameSampleStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"max_frames": max_frames},
+    )

@@ -150,3 +150,38 @@ def test_export_charts_absent_plotly_noop(tmp_path):
     # export_tables still works end-to-end without plotly
     written = reports.export_tables({"t": t}, str(tmp_path / "out"))
     assert "report.md" in written and not any(k.startswith("charts/") for k in written)
+
+
+def test_frame_sample_stage_stub_and_injection():
+    from ocr_endpoint_project_ray.stages.media import FrameSampleStage
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+            "media_ref": pa.array(["r://1", "r://2", "r://3"], pa.string()),
+            "media_type": pa.array(["video", "image", "video"], pa.string()),
+            "payload": pa.array([b"abc", b"def", b"ghi"], pa.large_binary()),
+        }
+    )
+    out = FrameSampleStage()(batch)
+    # non-video rows dropped; frames are ordered 0..n-1 per video
+    assert set(out.column("doc_id").to_pylist()) == {"d1", "d3"}
+    d1 = out.filter(pa.compute.equal(out.column("doc_id"), "d1"))
+    assert d1.column("frame_no").to_pylist() == list(range(d1.num_rows))
+    assert d1.column("frame_ref").to_pylist()[0] == "r://1#0"
+    assert all(e is None for e in out.column("error").to_pylist())
+    # deterministic across instances
+    out2 = FrameSampleStage()(batch)
+    assert out.equals(out2)
+    # injected sampler exercises the real-engine code path shape
+    stage = FrameSampleStage(sampler=lambda payload: [payload, payload[::-1]])
+    got = stage(batch)
+    d1 = got.filter(pa.compute.equal(got.column("doc_id"), "d1"))
+    assert d1.column("frame_payload").to_pylist() == [b"abc", b"cba"]
+
+    def _boom(payload):
+        raise RuntimeError("decoder crashed")
+
+    errs = FrameSampleStage(sampler=_boom)(batch)
+    assert all(e and "RuntimeError" in e for e in errs.column("error").to_pylist())
+    assert errs.column("frame_no").to_pylist() == [-1, -1]
