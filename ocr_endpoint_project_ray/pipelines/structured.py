@@ -191,6 +191,7 @@ def q24_parse_validity_rates(sf_dir: str) -> ray.data.Dataset:
             Agg("n_json_valid", "json_valid", "sum"),
             Agg("n_schema_valid", "schema_valid", "sum"),
         ],
+        small_groups=True,
     )
 
 

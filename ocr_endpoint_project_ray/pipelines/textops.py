@@ -88,6 +88,7 @@ def q18_lang_stats(sf_dir: str) -> ray.data.Dataset:
         ds,
         ["lang"],
         [Agg("n_docs", "n_chars", "count_rows"), Agg("avg_chars", "n_chars", "mean")],
+        small_groups=True,
     )
     return out
 
@@ -130,6 +131,7 @@ def _source_stats(sf_dir: str) -> pa.Table:
         ds,
         ["source"],
         [Agg("avg_chars", "n_chars", "mean"), Agg("n_docs", "n_chars", "count_rows")],
+        small_groups=True,
     )
     return pa.Table.from_pylist(agg.take_all())
 
@@ -192,7 +194,8 @@ def q32_parse_error_categories(sf_dir: str) -> ray.data.Dataset:
         categorize_errors, batch_size=None, batch_format="pyarrow"
     ).select_columns(["error_category"])
     return grouped_agg(
-        cats, ["error_category"], [Agg("n_docs", "error_category", "count_rows")]
+        cats, ["error_category"], [Agg("n_docs", "error_category", "count_rows")],
+        small_groups=True,
     )
 
 
