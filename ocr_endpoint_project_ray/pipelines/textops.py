@@ -388,7 +388,8 @@ def q30_distinct_pairs(sf_dir: str) -> ray.data.Dataset:
     from ..stages.dedup import keyed_latest
 
     ds = read_table(sf_dir, "documents", columns=["lang", "source"])
-    return keyed_latest(ds, ["lang", "source"], [])
+    # lang × source is a bounded domain → coalesce the pre-deduped stream
+    return keyed_latest(ds, ["lang", "source"], [], small_keys=True)
 
 
 def q26_decision_scores(sf_dir: str) -> pa.Table:

@@ -64,12 +64,18 @@ def keyed_latest(
     order: list[tuple[str, str]],
     *,
     num_partitions: int | None = None,
+    small_keys: bool = False,
 ) -> ray.data.Dataset:
     """Keep one row per key: the first under ``order`` (e.g.
     ``[("run_at","descending"), ("id","descending")]`` = latest snapshot).
 
     Scale shape: per-block pre-dedup (cheap, shrinks the shuffle) → keyed
     hash repartition → per-block vectorized first-of-run.
+
+    ``small_keys=True``: caller asserts the key domain is bounded and small
+    (≲10k distinct) — the pre-deduped stream (n_blocks × n_keys rows)
+    coalesces to one block instead of a keyed hash shuffle, skipping the
+    per-query aggregator-pool startup (see functions/agg.py small_groups).
     """
     n = num_partitions or default_num_partitions()
     fn_kwargs = {"keys": keys, "order": order}
@@ -80,7 +86,10 @@ def keyed_latest(
         zero_copy_batch=True,
         fn_kwargs=fn_kwargs,
     )
-    co = pre.repartition(num_blocks=n, keys=keys)
+    if small_keys:
+        co = pre.repartition(num_blocks=1)
+    else:
+        co = pre.repartition(num_blocks=n, keys=keys)
     return co.map_batches(
         _first_per_key,
         batch_size=None,
