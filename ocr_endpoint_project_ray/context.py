@@ -67,3 +67,17 @@ def default_num_partitions(per_cpu: int = 2, floor: int = 8, cap: int = 512) -> 
     except Exception:  # pragma: no cover
         cpus = 8
     return max(floor, min(cap, cpus * per_cpu))
+
+
+def default_keyed_partitions(floor: int = 8, cap: int = 512) -> int:
+    """Partition count for keyed shuffles of *pre-shrunk* data (grouped-agg
+    partials, pre-deduped keys): ~cpus/2. Keyed ops pay an aggregator-actor
+    pool per op, so fewer partitions than the doc-scale default (2/cpu) is
+    faster until per-partition memory becomes the constraint — measured
+    21.7 s → 12.5 s on an exact COUNT(DISTINCT) at 32 CPUs. Scales with the
+    cluster; raise the cap only if partitions outgrow worker heaps."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    except Exception:  # pragma: no cover
+        cpus = 16
+    return max(floor, min(cap, cpus // 2))

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..context import default_num_partitions
+from ..context import default_keyed_partitions
 
 
 @dataclass(frozen=True)
@@ -131,7 +131,7 @@ def grouped_agg(
     unbounded keys (per-customer, vocabulary): those need the keyed
     partitioning to bound per-block group size.
     """
-    n = num_partitions or default_num_partitions()
+    n = num_partitions or default_keyed_partitions()
     partials = ds.map_batches(
         _partial_batch,
         batch_size=None,

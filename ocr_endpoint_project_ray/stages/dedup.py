@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..context import default_num_partitions
+from ..context import default_keyed_partitions, default_num_partitions
 from ..functions.text import jaccard, word_ngrams
 
 # ---------------------------------------------------------------------------
@@ -77,7 +77,7 @@ def keyed_latest(
     coalesces to one block instead of a keyed hash shuffle, skipping the
     per-query aggregator-pool startup (see functions/agg.py small_groups).
     """
-    n = num_partitions or default_num_partitions()
+    n = num_partitions or default_keyed_partitions()
     fn_kwargs = {"keys": keys, "order": order}
     pre = ds.map_batches(
         _first_per_key,
@@ -113,7 +113,7 @@ def exact_dedup_by_content(
     per-block first: emits (content, keeper id, partial count) per block,
     then finalizes after the keyed repartition.
     """
-    n = num_partitions or default_num_partitions()
+    n = num_partitions or default_keyed_partitions()
 
     def _rename(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
         # name-based rename: pyarrow's group_by output column ORDER has
