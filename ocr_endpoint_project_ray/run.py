@@ -53,6 +53,19 @@ def main(argv: list[str] | None = None) -> int:
     from .state.manifest import manifest_metrics, run_partitioned
 
     shards = _input_shards(args.input)
+    # fail fast on wrong inputs (e.g. a benchmark-tables dir): a shard
+    # missing the corpus schema would otherwise surface as a KeyError deep
+    # inside a Ray task minutes into the job
+    for p in shards:
+        if p.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            names = pq.read_schema(p).names
+            if "doc_id" not in names or "spans" not in names:
+                parser.error(
+                    f"{p} lacks the corpus schema (doc_id, spans); got {names}. "
+                    "--input must point at an interleaved-document corpus."
+                )
     groups = [
         shards[i : i + args.shards_per_partition]
         for i in range(0, len(shards), args.shards_per_partition)
