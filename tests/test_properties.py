@@ -212,3 +212,101 @@ def test_quantile_cont_matches_duckdb(vals, q):
     want = con.execute(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
     con.close()
     assert got == want, (got, want, len(vals), q)
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user
+            st.integers(0, 7200),         # ts offset seconds
+            st.integers(0, 10000),        # value cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rolling_window_matches_bruteforce(rows):
+    """RANGE-frame semantics incl. duplicate timestamps (peers of the
+    current ts belong to the frame even when they sort after the row)."""
+    import pyarrow as pa
+
+    from ocr_endpoint_project_ray.stages.windows import _rolling_block
+
+    window_us = 600 * 1_000_000  # 10 min
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([base + s * 1_000_000 for _, s, _ in rows], pa.timestamp("us")),
+            "value": pa.array([c / 100.0 for _, _, c in rows], pa.float64()),
+        }
+    )
+    out = _rolling_block(tbl, window_us)
+    got = {
+        r["event_id"]: (r["n_window"], r["sum_value"]) for r in out.to_pylist()
+    }
+    for i, (u, s, c) in enumerate(rows):
+        ts_i = base + s * 1_000_000
+        frame = [
+            (cc / 100.0)
+            for (uu, ss, cc) in rows
+            if uu == u and ts_i - window_us <= base + ss * 1_000_000 <= ts_i
+        ]
+        n, sv = got[i]
+        assert n == len(frame), (i, n, len(frame))
+        assert sv == round(sum(frame), 2) or abs(sv - round(sum(frame), 2)) < 1e-9
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", None]), st.integers(-50, 50)),
+        min_size=0,
+        max_size=80,
+    ),
+    nblocks=st.integers(1, 4),
+)
+def test_small_groups_equals_keyed_path(rows, nblocks):
+    """The coalesce fast path must be value-identical to the keyed shuffle."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_endpoint_project_ray.functions.agg import Agg, grouped_agg
+
+    tables = []
+    per = max(1, len(rows) // nblocks)
+    for i in range(0, len(rows), per):
+        chunk = rows[i : i + per]
+        tables.append(
+            pa.table(
+                {
+                    "k": pa.array([k for k, _ in chunk], pa.string()),
+                    "v": pa.array([float(v) for _, v in chunk], pa.float64()),
+                }
+            )
+        )
+    if not tables:
+        tables = [pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})]
+    import ray as _ray
+
+    ds1 = ray.data.from_arrow_refs([_ray.put(t) for t in tables])
+    ds2 = ray.data.from_arrow_refs([_ray.put(t) for t in tables])
+    aggs = [
+        Agg("n", "v", "count_rows"),
+        Agg("s", "v", "sum"),
+        Agg("mn", "v", "min"),
+        Agg("mx", "v", "max"),
+    ]
+
+    def norm(res):
+        return sorted(
+            ((r["k"], r["n"], round(r["s"], 9), r["mn"], r["mx"]) for r in res.take_all()),
+            key=lambda t: (t[0] is None, t),
+        )
+
+    assert norm(grouped_agg(ds1, ["k"], aggs, small_groups=True)) == norm(
+        grouped_agg(ds2, ["k"], aggs, num_partitions=3)
+    )
