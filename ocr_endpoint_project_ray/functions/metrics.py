@@ -103,6 +103,18 @@ def layout_accuracy(ground_truth: str, prediction: str) -> float:
 
 
 def word_metrics(ground_truth: str, prediction: str) -> dict[str, Any]:
+    if ground_truth == prediction and ground_truth:
+        # identical strings score perfectly by definition — skip the O(n²)
+        # DPs (the extraction-vs-golden stage matches exactly by design, so
+        # this halves the scoring pipeline's Levenshtein work)
+        return {
+            "accuracy_pct": 100.0,
+            "cer_pct": 0.0,
+            "wer_pct": 0.0,
+            "layout_accuracy_pct": 100.0,
+            "missing_words": [],
+            "extra_words": [],
+        }
     gt_words = normalize_words(ground_truth)
     pred_words = normalize_words(prediction)
     if not gt_words:
