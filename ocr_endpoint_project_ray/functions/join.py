@@ -3,8 +3,14 @@ wrapper over Ray's distributed hash join for large×large.
 
 Every join in the reference is a filename-stem lookup against a small fixture
 set (SURVEY.md §2.8) — a broadcast join. We ``ray.put`` the small side ONCE
-and build the hash index ONCE PER ACTOR in ``__init__`` (not per batch, not
-per task), then map it over batches with a vectorized pandas ``.map``.
+and build the hash index ONCE PER WORKER PROCESS (not per batch, not per
+task), then map it over batches with a vectorized pandas ``.map``.
+
+The stage is TASK-based, not an actor pool: operator fusion folds the whole
+upstream stateless map chain into a class-based stage, making the pool size
+the fused chain's concurrency ceiling (the round-1 measured fusion trap,
+~4× throughput on fused chains). The index cache lives in the worker
+process and is keyed by the object ref, so warm workers pay the build once.
 """
 
 from __future__ import annotations
@@ -18,44 +24,45 @@ import ray.data
 
 from ..context import default_num_partitions
 
+#: Per-worker-process broadcast-index cache: ref hex → (maps, types, key_set).
+#: Bounded: cleared when it outgrows a handful of concurrent joins.
+_JOIN_INDEX_CACHE: dict[str, tuple] = {}
 
-class _BroadcastJoiner:
-    """Actor-pool map_batches callable holding the broadcast index."""
 
-    def __init__(
-        self,
-        small_ref: ray.ObjectRef,
-        left_on: str,
-        right_on: str,
-        value_cols: list[str],
-        how: str,
-    ) -> None:
+def _get_join_index(small_ref, right_on: str, value_cols: list[str]):
+    key = small_ref.hex()
+    if key not in _JOIN_INDEX_CACHE:
+        if len(_JOIN_INDEX_CACHE) > 8:
+            _JOIN_INDEX_CACHE.clear()
         small: pa.Table = ray.get(small_ref)  # zero-copy from object store
         keys = small.column(right_on).to_pandas()
-        self._maps = {
+        maps = {
             c: pd.Series(small.column(c).to_pandas().values, index=keys) for c in value_cols
         }
-        self._types = {c: small.schema.field(c).type for c in value_cols}
-        self._key_set = set(keys)
-        self._left_on = left_on
-        self._how = how
+        types = {c: small.schema.field(c).type for c in value_cols}
+        _JOIN_INDEX_CACHE[key] = (maps, types, set(keys))
+    return _JOIN_INDEX_CACHE[key]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self._left_on).to_pandas()
-        if self._how == "inner":
-            # filter FIRST so every mapped key hits — no NaN fill, and the
-            # appended columns keep the small side's exact Arrow type in
-            # every block (pandas .map would silently promote int64→float64
-            # in blocks containing misses, yielding inconsistent schemas)
-            mask = keys.isin(self._key_set).values
-            batch = batch.filter(pa.array(mask))
-            keys = keys[mask]
-        for c, mapping in self._maps.items():
-            mapped = keys.map(mapping)
-            # vectorized conversion pinning the small side's Arrow type:
-            # NaN→null, lossless cast back from pandas' float promotion
-            batch = batch.append_column(c, pa.Array.from_pandas(mapped, type=self._types[c]))
-        return batch
+
+def _broadcast_join_batch(
+    batch: pa.Table, small_ref, left_on: str, right_on: str, value_cols: list[str], how: str
+) -> pa.Table:
+    maps, types, key_set = _get_join_index(small_ref, right_on, value_cols)
+    keys = batch.column(left_on).to_pandas()
+    if how == "inner":
+        # filter FIRST so every mapped key hits — no NaN fill, and the
+        # appended columns keep the small side's exact Arrow type in
+        # every block (pandas .map would silently promote int64→float64
+        # in blocks containing misses, yielding inconsistent schemas)
+        mask = keys.isin(key_set).values
+        batch = batch.filter(pa.array(mask))
+        keys = keys[mask]
+    for c, mapping in maps.items():
+        mapped = keys.map(mapping)
+        # vectorized conversion pinning the small side's Arrow type:
+        # NaN→null, lossless cast back from pandas' float promotion
+        batch = batch.append_column(c, pa.Array.from_pandas(mapped, type=types[c]))
+    return batch
 
 
 def broadcast_join(
@@ -66,13 +73,14 @@ def broadcast_join(
     right_on: str,
     value_cols: list[str] | None = None,
     how: str = "inner",
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency=None,  # retained for API compat; task-based stage scales with blocks
 ) -> ray.data.Dataset:
     """Join a Dataset against a small in-memory Arrow table without a shuffle.
 
-    The small side is put in the object store once; every actor reads it
-    zero-copy and indexes it once. Use for dimension tables up to ~100s of MB
-    per node; beyond that use :func:`hash_join`.
+    The small side is put in the object store once; every worker process
+    reads it zero-copy and indexes it once (cached by ref). Use for
+    dimension tables up to ~100s of MB per node; beyond that use
+    :func:`hash_join`.
     """
     if value_cols is None:
         value_cols = [c for c in small.column_names if c != right_on]
@@ -92,12 +100,17 @@ def broadcast_join(
         )
     ref = ray.put(small)
     return ds.map_batches(
-        _BroadcastJoiner,
+        _broadcast_join_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
-        fn_constructor_args=(ref, left_on, right_on, value_cols, how),
+        fn_kwargs={
+            "small_ref": ref,
+            "left_on": left_on,
+            "right_on": right_on,
+            "value_cols": value_cols,
+            "how": how,
+        },
     )
 
 
