@@ -105,15 +105,23 @@ def exact_dedup_by_content(
     content_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    by_digest: bool = True,
 ) -> ray.data.Dataset:
     """Exact dedup: one keeper (min id) + duplicate count per distinct content.
 
-    Hash-partition on a content digest (so the shuffle moves a fixed-width
-    key, not the document bytes, when the caller pre-projects), combine
-    per-block first: emits (content, keeper id, partial count) per block,
-    then finalizes after the keyed repartition.
+    ``by_digest=True`` (default): each block first digests its content
+    column (md5, 32-hex — collision probability ~2^-128, far below any
+    hardware error rate) and groups on the digest, so the keyed shuffle
+    moves fixed-width keys instead of document bytes — at 100 TB the
+    difference between shuffling ~0.3 % of the corpus and all of it.
+    ``by_digest=False`` shuffles the raw content for byte-literal grouping.
+    Combine per block first: emits (key, keeper id, partial count) per
+    block, then finalizes after the keyed repartition.
     """
     n = num_partitions or default_keyed_partitions()
+    from ..functions.text import md5_hex_batch
+
+    key_col = "__digest" if by_digest else content_col
 
     def _rename(table: pa.Table, mapping: dict[str, str]) -> pa.Table:
         # name-based rename: pyarrow's group_by output column ORDER has
@@ -121,12 +129,19 @@ def exact_dedup_by_content(
         return table.rename_columns([mapping.get(c, c) for c in table.column_names])
 
     def _partial(batch: pa.Table) -> pa.Table:
-        gb = batch.group_by([content_col], use_threads=False)
+        if by_digest:
+            batch = pa.table(
+                {
+                    key_col: md5_hex_batch(batch.column(content_col)),
+                    id_col: batch.column(id_col),
+                }
+            )
+        gb = batch.group_by([key_col], use_threads=False)
         out = gb.aggregate([(id_col, "min"), (id_col, "count")])
         return _rename(out, {f"{id_col}_min": "__keep", f"{id_col}_count": "__cnt"})
 
     def _final(batch: pa.Table) -> pa.Table:
-        gb = batch.group_by([content_col], use_threads=False)
+        gb = batch.group_by([key_col], use_threads=False)
         out = gb.aggregate([("__keep", "min"), ("__cnt", "sum")])
         out = _rename(out, {"__keep_min": id_col, "__cnt_sum": "dup_count"})
         return out.select([id_col, "dup_count"])
@@ -134,7 +149,7 @@ def exact_dedup_by_content(
     partial = ds.map_batches(
         _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
-    co = partial.repartition(num_blocks=n, keys=[content_col])
+    co = partial.repartition(num_blocks=n, keys=[key_col])
     return co.map_batches(_final, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
