@@ -51,14 +51,21 @@ def _extract_query(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(RELATIONAL_QUERIES)
-    out.update(TEXT_QUERIES)
-    out["q43_extract_spans"] = _extract_query
-    out["q24_parse_validity_rates"] = q24_parse_validity_rates
-    out["q44_structured_parse"] = x_structured_parse
-    out["x_extraction_scores"] = x_extraction_scores
-    out["x_score_summary"] = x_score_summary
+    all_q: dict[str, Callable[[str], Any]] = {}
+    all_q.update(RELATIONAL_QUERIES)
+    all_q.update(TEXT_QUERIES)
+    all_q["q43_extract_spans"] = _extract_query
+    all_q["q24_parse_validity_rates"] = q24_parse_validity_rates
+    all_q["q44_structured_parse"] = x_structured_parse
+    all_q["x_extraction_scores"] = x_extraction_scores
+    all_q["x_score_summary"] = x_score_summary
+    # The driver evaluates entries in dict order with a bounded window, so
+    # every SQL-oracled query MUST precede the rows-only x_ checks — enforced
+    # structurally here (r2 verdict: three oracled queries registered after
+    # the x_ block silently fell outside the checked window).
+    oracled = oracle_sql()
+    out = {k: v for k, v in all_q.items() if k in oracled}
+    out.update({k: v for k, v in all_q.items() if k not in oracled})
     return out
 
 

@@ -164,7 +164,7 @@ Q44_ORACLE = """
     SELECT doc_id,
            CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS TINYINT) AS json_valid,
            CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS TINYINT) AS schema_valid,
-           CASE WHEN doc_id % 4 = 3 THEN 0.0 ELSE 100.0 END AS accuracy_pct,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 0.0 ELSE 100.0 END AS DOUBLE) AS accuracy_pct,
            CASE WHEN doc_id % 4 = 3 THEN 'PARSING_JSON_INVALID' ELSE NULL END AS error
     FROM documents
 """

@@ -429,6 +429,15 @@ def q23_ann_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+#: SQL char-class twin of the engine token rule (functions/text.py::TOKEN_RE =
+#: RE2 ``\S+``; ASCII whitespace complement). GENERATED from Python's
+#: whitespace set — never hand-typed — after r2 ADVICE caught a hand-copied
+#: class that lost its ``\r`` to editor mangling. The escapes are literal
+#: backslash sequences in the SQL, which DuckDB's RE2 interprets.
+_WS_ESCAPES = {" ": " ", "\t": "\\t", "\n": "\\n", "\r": "\\r", "\f": "\\f", "\v": "\\v"}
+assert set(_WS_ESCAPES) == set(__import__("string").whitespace), "token class drifted from \\s"
+_SQL_TOKEN_PATTERN = "[^" + "".join(_WS_ESCAPES[c] for c in sorted(_WS_ESCAPES)) + "]+"
+
 TEXT_ORACLES: dict[str, str] = {
     "q14_doc_dedup": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text
@@ -436,11 +445,9 @@ TEXT_ORACLES: dict[str, str] = {
     # Mirrors stages/dedup.py::simhash_batch exactly: \S+ tokens (every
     # occurrence votes), 64-bit md5-prefix token hash, per-bit sign-sum,
     # two's-complement via the j=63 term contributing -2^63.
-    "q46_top_terms": """
+    "q46_top_terms": f"""
         SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_occurrences
-        FROM (SELECT unnest(regexp_extract_all(text, '[^ 	
-
-]+')) AS tok
+        FROM (SELECT unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS tok
               FROM documents)
         GROUP BY tok
         ORDER BY n_occurrences DESC, token ASC
@@ -611,7 +618,7 @@ TEXT_ORACLES: dict[str, str] = {
         SELECT lang, doc_id FROM (
             SELECT lang, doc_id,
                    row_number() OVER (PARTITION BY lang
-                                      ORDER BY md5(text) ASC, doc_id ASC) AS rn
+                                      ORDER BY md5(COALESCE(text, '')) ASC, doc_id ASC) AS rn
             FROM documents)
         WHERE rn <= 3
     """,

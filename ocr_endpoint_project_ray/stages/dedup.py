@@ -400,6 +400,14 @@ def minhash_lsh_pairs(
 
     With neither, returns unverified candidate pairs.
     """
+    if num_perm % bands != 0:
+        # _bands_batch reshapes the (n, num_perm) signature matrix to
+        # (n, bands, rows); a remainder would raise an opaque numpy
+        # ValueError mid-pipeline (r2 ADVICE) — fail fast with the contract.
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            f"pick bands from the divisors of num_perm"
+        )
     rows = num_perm // bands
     n = num_partitions or default_num_partitions()
     sigs = docs.map_batches(

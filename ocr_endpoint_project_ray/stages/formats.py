@@ -38,6 +38,10 @@ def _soffice() -> str | None:
     """LibreOffice binary for docx→pdf, or None (stub fallback)."""
     return shutil.which("soffice") or shutil.which("libreoffice")
 
+#: Header written by the stub converters — downstream PDF stages must treat
+#: such payloads as stubs even when a real PDF engine is installed.
+_PDF_STUB_MAGIC = b"%PDF-stub"
+
 _MAGIC = (
     (b"%PDF", "pdf"),
     (b"\x89PNG", "png"),
@@ -89,12 +93,12 @@ def _convert_to_pdf(payload: bytes, fmt: str) -> bytes:
         if fitz is not None:
             with fitz.open(stream=payload, filetype=fmt) as img:
                 return img.convert_to_pdf()
-        return b"%PDF-stub\n" + hashlib.md5(payload).digest() + payload
+        return _PDF_STUB_MAGIC + b"\n" + hashlib.md5(payload).digest() + payload
     if fmt == "docx":
         soffice = _soffice()
         if soffice is not None:
             return _docx_to_pdf_soffice(payload, soffice)
-        return b"%PDF-stub\n" + hashlib.md5(payload).digest() + payload
+        return _PDF_STUB_MAGIC + b"\n" + hashlib.md5(payload).digest() + payload
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -129,7 +133,12 @@ def pdf_page_count(payload: bytes | None) -> int:
     digest."""
     if not payload or not payload.startswith(b"%PDF"):
         return 0
-    fitz = _pymupdf()
+    # Stub-converted payloads (b"%PDF-stub" from _convert_to_pdf) are not
+    # real PDFs: in a mixed environment (PyMuPDF present, LibreOffice
+    # absent) handing them to fitz would yield 0 pages and the docs would
+    # silently vanish from extraction (r2 ADVICE) — always take the
+    # digest-derived stub path for them.
+    fitz = None if payload.startswith(_PDF_STUB_MAGIC) else _pymupdf()
     if fitz is not None:
         try:
             with fitz.open(stream=payload, filetype="pdf") as doc:
@@ -159,7 +168,8 @@ def pdf_to_pages_batch(batch: pa.Table, *, payload_col: str = "payload") -> pa.T
     out_ids, out_pages, out_payloads = [], [], []
     for doc_id, p in zip(ids, payloads):
         try:
-            real = _rasterize_pages(p) if (p and p.startswith(b"%PDF")) else None
+            is_real_pdf = p and p.startswith(b"%PDF") and not p.startswith(_PDF_STUB_MAGIC)
+            real = _rasterize_pages(p) if is_real_pdf else None
         except Exception:
             real = []  # broken pdf under a real engine → no pages (≙ count=0)
         if real is not None:

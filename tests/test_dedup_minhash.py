@@ -116,3 +116,15 @@ def test_distributed_components_empty_pairs():
     )
     out = dup_groups_distributed(ray.data.from_arrow(empty), num_partitions=2).take_all()
     assert out == []
+
+
+def test_minhash_rejects_indivisible_bands():
+    """num_perm must divide evenly into bands (the signature matrix reshapes
+    to (n, bands, rows)) — fail fast instead of a numpy ValueError mid-run."""
+    import pytest
+
+    from ocr_endpoint_project_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["hello world"]}))
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(ds, num_perm=64, bands=10)

@@ -104,6 +104,27 @@ def test_pymupdf_page_count_and_rasterize(monkeypatch):
     assert out.column("page_payload").to_pylist()[1] == b"PNGDATA\x01"
 
 
+def test_stub_pdf_bypasses_real_engine(monkeypatch):
+    """Mixed-engine environment (r2 ADVICE): a stub-converted payload
+    (%PDF-stub, e.g. docx with LibreOffice absent) must take the digest stub
+    path even when PyMuPDF is installed — handing it to fitz would report 0
+    pages and the doc would vanish from extraction."""
+    monkeypatch.setattr(formats, "_pymupdf", lambda: _FakeFitz())
+    stub = formats._convert_to_pdf(b"PK\x03\x04docx-bytes", "docx")
+    assert stub.startswith(b"%PDF-stub")
+    n = formats.pdf_page_count(stub)
+    assert 1 <= n <= 8  # digest-derived, NOT _FakeFitz's 3
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "payload": pa.array([stub], pa.large_binary()),
+        }
+    )
+    out = formats.pdf_to_pages_batch(batch)
+    assert out.num_rows == n
+    assert out.column("page_payload").to_pylist()[0] != b"PNGDATA\x00"
+
+
 def test_stub_fallbacks_unchanged():
     # without the engines this container must keep the deterministic stubs
     assert formats._pymupdf() is None
