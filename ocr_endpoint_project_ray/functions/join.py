@@ -158,6 +158,59 @@ def broadcast_range_join(
     return ds.map_batches(_band, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def anti_join_auto(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    max_broadcast_rows: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Anti join (left rows whose key appears nowhere in ``right_keys``),
+    size-dispatched like ``grouped_agg(small_groups=...)``:
+
+    - probe the right side with a LIMIT-bounded scan; if its key set fits
+      (≤ ``max_broadcast_rows``, ~16 MB of int64 at the default), broadcast
+      the deduped keys once and anti-filter every batch with a vectorized
+      ``is_in`` — no shuffle, no aggregator-actor pool (the pool startup is
+      the latency floor on small queries: measured 0.6 s vs 5.2 s at sf0.1);
+    - otherwise fall back to the distributed ``left_anti`` hash join, whose
+      memory stays bounded per partition at any scale.
+
+    The probe executes the right-side pipeline once; above the threshold
+    that partial scan is discarded and the join re-executes it — a bounded
+    toll paid only on the path where the join itself dwarfs it. Left rows
+    with a null key are always kept (SQL anti-join semantics: null equals
+    nothing).
+    """
+    right_on = right_on or on
+    try:
+        # take_batch keeps native Arrow types (to_pandas would promote a
+        # nullable int64 key to float64 and silently break is_in matching)
+        probe = right_keys.limit(max_broadcast_rows + 1).take_batch(
+            max_broadcast_rows + 1, batch_format="pyarrow"
+        )
+    except (StopIteration, ValueError):  # empty right side → nothing to remove
+        return left
+    if probe.num_rows <= max_broadcast_rows:
+        keys = pc.unique(pc.drop_null(probe.column(right_on)))
+        keys_ref = ray.put(keys)
+
+        def _anti(batch: pa.Table) -> pa.Table:
+            value_set = ray.get(keys_ref)  # zero-copy from local plasma
+            mask_in = pc.fill_null(pc.is_in(batch.column(on), value_set=value_set), False)
+            return batch.filter(pc.invert(mask_in))
+
+        return left.map_batches(
+            _anti, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return hash_join(
+        left, right_keys, on=on, right_on=right_on,
+        join_type="left_anti", num_partitions=num_partitions,
+    )
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -508,15 +508,18 @@ def q37_price_bands(sf_dir: str) -> ray.data.Dataset:
 
 
 def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
-    """Distributed anti join: customers with no 'F'-status orders. The orders
-    side is scan-filtered (predicate pushdown), projected to the key, then
+    """Anti join: customers with no 'F'-status orders. The orders side is
+    scan-filtered (predicate pushdown), projected to the key, then
     pre-deduplicated per block — each block shrinks to its distinct custkeys
-    before the shuffle — and joined ``left_anti`` via Dataset.join. Nothing
-    touches the driver; at 10^12 rows a broadcast Bloom filter of the key
-    set is the shuffle-free alternative."""
+    before anything moves. ``anti_join_auto`` then dispatches on the key-set
+    size: broadcast ``is_in`` filter when it fits (no shuffle — the
+    aggregator-pool startup dominated this query at toy scale), distributed
+    ``left_anti`` hash join beyond (bounded per-partition memory at 10^12
+    rows; both paths pytest-parity in test_functions.py)."""
     import pyarrow.dataset as pds
 
     from ..context import default_num_partitions
+    from ..functions.join import anti_join_auto
 
     customers = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
     f_keys = read_table(
@@ -530,9 +533,8 @@ def q38_customers_no_orders(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     n = min(default_num_partitions(per_cpu=1), 16)
-    return hash_join(
-        customers, f_keys, on="c_custkey", right_on="o_custkey",
-        join_type="left_anti", num_partitions=n,
+    return anti_join_auto(
+        customers, f_keys, on="c_custkey", right_on="o_custkey", num_partitions=n
     )
 
 

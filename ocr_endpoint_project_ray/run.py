@@ -19,8 +19,6 @@ import os
 import sys
 import time
 
-import pyarrow as pa
-
 import ray
 
 
@@ -71,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         for i in range(0, len(shards), args.shards_per_partition)
     ]
 
-    def process_one(group: list[str]) -> pa.Table:
+    def process_one(group: list[str]):
         # read exactly this partition's shard files (read_parquet accepts a
         # path list) — never the whole input directory
         import ray.data
@@ -81,10 +79,12 @@ def main(argv: list[str] | None = None) -> int:
             if len(group) == 1 and not group[0].endswith(".parquet")
             else ray.data.read_parquet(group)
         )
-        out = extract_documents(
+        # returned LAZY: run_partitioned consumes it with a distributed
+        # write_parquet, so no partition is ever materialized on the driver
+        # (memory bounded per block, not per shard)
+        return extract_documents(
             ds, num_partitions=args.num_partitions, salted=not args.no_salt
         )
-        return pa.Table.from_pylist(out.take_all())
 
     def rows_in_of(group: list[str]) -> int | None:
         try:

@@ -235,6 +235,7 @@ def embedding_dupe_pairs(
     dim: int | None = None,
     n_planes: int = 6,
     num_partitions: int | None = None,
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥ threshold).
 
@@ -245,6 +246,11 @@ def embedding_dupe_pairs(
     probability ≈ (1 - θ/π)^planes, high when θ→0. Approximate by design:
     pairs straddling a hyperplane are missed — raise recall with fewer
     planes or multiple rotated tables.
+
+    Within-bucket work is O(n²) in bucket size, so a degenerate bucket
+    (clustered embeddings + few planes) is truncated to its first
+    ``max_bucket`` members by vec_id, surfaced in-band via the ``truncated``
+    column — same guard as the MinHash path (dedup.py::_bucket_pairs).
     """
 
     def _sign(batch: pa.Table) -> pa.Table:
@@ -263,6 +269,7 @@ def embedding_dupe_pairs(
                 "vec_a": pa.array([], pa.int64()),
                 "vec_b": pa.array([], pa.int64()),
                 "cosine_sim": pa.array([], pa.float64()),
+                "truncated": pa.array([], pa.bool_()),
             }
         )
         if batch.num_rows == 0:
@@ -275,27 +282,31 @@ def embedding_dupe_pairs(
         buckets = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _l2norm(_to_matrix(batch.column("embedding")))
-        out_a, out_b, out_s = [], [], []
+        out_a, out_b, out_s, out_t = [], [], [], []
         start = 0
         n = len(buckets)
         while start < n:
             end = start
             while end < n and buckets[end] == buckets[start]:
                 end += 1
-            if end - start > 1:
-                sub = m[start:end]
+            truncated = end - start > max_bucket
+            stop = min(end, start + max_bucket)
+            if stop - start > 1:
+                sub = m[start:stop]
                 sims = sub @ sub.T
-                ai, bi = np.triu_indices(end - start, k=1)
+                ai, bi = np.triu_indices(stop - start, k=1)
                 keep = sims[ai, bi] >= threshold
-                out_a.extend(ids[start:end][ai[keep]])
-                out_b.extend(ids[start:end][bi[keep]])
+                out_a.extend(ids[start:stop][ai[keep]])
+                out_b.extend(ids[start:stop][bi[keep]])
                 out_s.extend(sims[ai, bi][keep])
+                out_t.extend([truncated] * int(keep.sum()))
             start = end
         return pa.table(
             {
                 "vec_a": pa.array(out_a, pa.int64()),
                 "vec_b": pa.array(out_b, pa.int64()),
                 "cosine_sim": pa.array(out_s, pa.float64()),
+                "truncated": pa.array(out_t, pa.bool_()),
             }
         )
 

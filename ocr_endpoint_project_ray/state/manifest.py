@@ -14,16 +14,19 @@ manifest handles *job*-level resume, which Ray does not give you.
 Layout::
 
     out_dir/
-      part-00000.parquet
-      part-00001.parquet
-      _manifest/
+      part-00000.parquet     # a single file (driver-side Table write) OR a
+      part-00001.parquet     # DIRECTORY of parquet fragments (distributed
+      _manifest/             # Dataset.write_parquet — the default at scale)
         part-00000.json      # {"partition": 0, "rows_in": ..., "rows_out": ...,
                              #  "wall_sec": ..., "sha256": ..., "finished_at": ...}
 
-A partition is DONE iff its manifest entry exists and names an existing file —
-the data file is written first, the manifest entry second, so a crash between
-the two re-processes the partition (idempotent: the filename is deterministic
-and overwritten).
+A partition is DONE iff its manifest entry exists and names an existing path —
+the data is written first, the manifest entry second, so a crash between
+the two re-processes the partition (idempotent: the path is deterministic
+and replaced). Directory partitions hash as sha256 over the sorted
+(fragment name, fragment sha256) list, so the checksum is stable across
+fragment write order; pyarrow and Ray both read a ``part-N.parquet``
+directory transparently.
 """
 
 from __future__ import annotations
@@ -79,24 +82,52 @@ def done_partitions(out_dir: str) -> set[int]:
     return done
 
 
-def write_partition(out_dir: str, partition: int, table: pa.Table, *, rows_in: int | None = None,
-                    started: float | None = None) -> PartitionResult:
-    """Write one partition + its manifest entry (data first, manifest second)."""
-    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
-    t0 = started if started is not None else time.time()
-    path = _part_file(out_dir, partition)
-    pq.write_table(table, path)
+def _sha256_file(path: str) -> str:
     digest = hashlib.sha256()
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             digest.update(chunk)
-    wall = time.time() - t0
+    return digest.hexdigest()
+
+
+def _sha256_path(path: str) -> str:
+    """Checksum of a partition: the file's sha256, or for a directory
+    partition the sha256 over the sorted (name, file-sha256) pairs — stable
+    regardless of the order distributed tasks finished their fragments."""
+    if os.path.isfile(path):
+        return _sha256_file(path)
+    digest = hashlib.sha256()
+    for name in sorted(os.listdir(path)):
+        digest.update(name.encode())
+        digest.update(b"\x00")
+        digest.update(_sha256_file(os.path.join(path, name)).encode())
+        digest.update(b"\x00")
+    return digest.hexdigest()
+
+
+def _rows_out_of(path: str) -> int:
+    """Row count from parquet footers only — never loads partition data."""
+    if os.path.isfile(path):
+        return pq.read_metadata(path).num_rows
+    return sum(
+        pq.read_metadata(os.path.join(path, name)).num_rows
+        for name in sorted(os.listdir(path))
+        if name.endswith(".parquet")
+    )
+
+
+def _finalize_partition(out_dir: str, partition: int, path: str, *, rows_in: int | None,
+                        started: float) -> PartitionResult:
+    """Checksum the written partition and publish its manifest entry
+    (data first, manifest second — the crash-consistency contract)."""
+    rows_out = _rows_out_of(path)
+    wall = time.time() - started
     entry = {
         "partition": partition,
-        "rows_in": rows_in if rows_in is not None else table.num_rows,
-        "rows_out": table.num_rows,
+        "rows_in": rows_in if rows_in is not None else rows_out,
+        "rows_out": rows_out,
         "wall_sec": round(wall, 4),
-        "sha256": digest.hexdigest(),
+        "sha256": _sha256_path(path),
         "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     tmp = _entry_file(out_dir, partition) + ".tmp"
@@ -105,6 +136,55 @@ def write_partition(out_dir: str, partition: int, table: pa.Table, *, rows_in: i
     os.replace(tmp, _entry_file(out_dir, partition))
     return PartitionResult(partition, entry["rows_in"], entry["rows_out"], wall,
                            entry["sha256"], skipped=False)
+
+
+def write_partition(out_dir: str, partition: int, table: pa.Table, *, rows_in: int | None = None,
+                    started: float | None = None) -> PartitionResult:
+    """Write one driver-side Table partition as a single file. For anything
+    that doesn't already fit in the driver's heap use
+    ``write_partition_streamed`` — this path exists for small side outputs
+    (reports, summaries) and tests."""
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    t0 = started if started is not None else time.time()
+    path = _part_file(out_dir, partition)
+    pq.write_table(table, path)
+    return _finalize_partition(out_dir, partition, path, rows_in=rows_in, started=t0)
+
+
+def write_partition_streamed(out_dir: str, partition: int, ds, *, rows_in: int | None = None,
+                             started: float | None = None) -> PartitionResult:
+    """Write one partition by consuming a Ray Dataset DISTRIBUTED
+    (``ds.write_parquet`` — each block streams from a worker straight to a
+    fragment file; the driver never holds the partition). The partition path
+    becomes a directory of fragments; rows_out/sha256 come from the written
+    files' footers, so memory is bounded per *block*, not per partition
+    (r2 verdict: the driver-side ``take_all`` here OOMed on one fat shard).
+    """
+    import shutil
+
+    from ray.data.datasource import FilenameProvider, SaveMode
+
+    class _FragmentNames(FilenameProvider):
+        # deterministic fragment names (no write uuid) so identical content
+        # yields an identical directory checksum across runs
+        def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+            return f"frag-{task_index:06d}-{block_index:06d}.parquet"
+
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    t0 = started if started is not None else time.time()
+    path = _part_file(out_dir, partition)
+    # a crash may have left a partial directory (or an old single-file
+    # layout) behind without a manifest entry — replace it wholesale so the
+    # fragment set is exactly this run's
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    # OVERWRITE mode is required for uuid-free fragment names; safe here
+    # because the directory was just cleared and the names are unique per
+    # (task, block)
+    ds.write_parquet(path, filename_provider=_FragmentNames(), mode=SaveMode.OVERWRITE)
+    return _finalize_partition(out_dir, partition, path, rows_in=rows_in, started=t0)
 
 
 def run_partitioned(
@@ -116,8 +196,10 @@ def run_partitioned(
     rows_in_fn: Callable[[object], int | None] | None = None,
 ) -> list[PartitionResult]:
     """Process ``inputs[i]`` → ``part-i.parquet``, skipping finished
-    partitions when resuming. ``process_one`` typically builds and consumes a
-    Ray Dataset for one input shard; partitions run sequentially here because
+    partitions when resuming. ``process_one`` returns either a lazy Ray
+    Dataset (the default at scale — consumed with a distributed
+    ``write_parquet``, never materialized on the driver) or a driver-side
+    ``pa.Table`` for small outputs; partitions run sequentially here because
     each one is internally distributed. ``rows_in_fn`` supplies the input row
     count for the lineage record (e.g. from parquet metadata — without it the
     manifest can only record rows_out).
@@ -133,9 +215,14 @@ def run_partitioned(
             )
             continue
         t0 = time.time()
-        table = process_one(item)
+        result = process_one(item)
         rows_in = rows_in_fn(item) if rows_in_fn else None
-        results.append(write_partition(out_dir, i, table, rows_in=rows_in, started=t0))
+        if isinstance(result, pa.Table):
+            results.append(write_partition(out_dir, i, result, rows_in=rows_in, started=t0))
+        else:
+            results.append(
+                write_partition_streamed(out_dir, i, result, rows_in=rows_in, started=t0)
+            )
     return results
 
 

@@ -167,3 +167,24 @@ class TestEmbeddingDupes:
         # LSH is approximate: require most planted pairs found, no junk pairs
         assert len(found & planted) >= 3
         assert all(p["cosine_sim"] >= 0.98 for p in pairs)
+        assert not any(p["truncated"] for p in pairs)  # no degenerate buckets here
+
+    def test_degenerate_bucket_bounded(self):
+        """All-identical embeddings land in ONE bucket: without the
+        max_bucket guard that is O(n²) pairs; with it, output is capped at
+        C(max_bucket, 2) and flagged truncated in-band."""
+        n, cap = 40, 8
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([[1.0, 2.0, 3.0, 4.0]] * n, pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        pairs = embedding_dupe_pairs(
+            ds, threshold=0.5, num_partitions=2, max_bucket=cap
+        ).take_all()
+        assert len(pairs) == cap * (cap - 1) // 2
+        assert all(p["truncated"] for p in pairs)
+        # kept members are the lowest vec_ids (deterministic truncation)
+        assert max(max(p["vec_a"], p["vec_b"]) for p in pairs) == cap - 1

@@ -148,8 +148,10 @@ def test_run_cli_shard_groups_no_duplication(tmp_path):
         ]
     )
     assert rc == 0
+    # partitions are now DIRECTORIES of fragments (distributed write);
+    # pq.read_table reads a part dir transparently
     total = sum(
-        pq.read_metadata(os.path.join(out_dir, f)).num_rows
+        pq.read_table(os.path.join(out_dir, f)).num_rows
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
     )
@@ -289,3 +291,45 @@ def test_hll_sketch_ignores_nulls():
         ray.data.from_arrow(tbl), keys=["g"], value_col="v", out="nd", num_partitions=2
     ).take_all()
     assert out == [{"g": "a", "nd": 2}]
+
+
+def test_anti_join_auto_paths_agree():
+    """Both anti_join_auto dispatch arms (broadcast is_in below the
+    threshold, distributed left_anti above) must produce identical rows;
+    null left keys are kept on both paths."""
+    import ray.data
+
+    from ocr_endpoint_project_ray.functions.join import anti_join_auto
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5, None], pa.int64()),
+                "name": pa.array(["a", "b", "c", "d", "e", "n"], pa.string()),
+            }
+        )
+    )
+
+    def right():
+        return ray.data.from_arrow(pa.table({"rk": pa.array([2, 4, 4, 9], pa.int64())}))
+
+    broadcast = anti_join_auto(
+        left, right(), on="k", right_on="rk", max_broadcast_rows=1000
+    ).take_all()
+    distributed = anti_join_auto(
+        left, right(), on="k", right_on="rk", max_broadcast_rows=0, num_partitions=2
+    ).take_all()
+    canon = lambda rows: sorted(((r["k"], r["name"]) for r in rows), key=repr)
+    assert canon(broadcast) == canon(distributed)
+    assert canon(broadcast) == [(1, "a"), (3, "c"), (5, "e"), (None, "n")]
+
+
+def test_anti_join_auto_empty_right():
+    import ray.data
+
+    from ocr_endpoint_project_ray.functions.join import anti_join_auto
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    empty = ray.data.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    out = anti_join_auto(left, empty, on="k", right_on="rk").take_all()
+    assert sorted(r["k"] for r in out) == [1, 2]

@@ -67,6 +67,43 @@ class TestManifest:
         total = pq.read_table(out + "/part-00000.parquet").num_rows
         assert total == 1
 
+    def test_streamed_dataset_partition(self, tmp_path):
+        """process_one returning a Ray Dataset → distributed write_parquet
+        into a part DIRECTORY; manifest semantics (resume skip, rows_out,
+        stable sha256, damage detection) identical to the table path."""
+        out = str(tmp_path / "out")
+        calls = []
+
+        def process(i):
+            calls.append(i)
+            return ray.data.from_arrow(
+                pa.table({"x": pa.array(range(i * 10, i * 10 + 5), pa.int64())})
+            ).repartition(2)
+
+        r1 = run_partitioned(list(range(3)), out, process)
+        assert [r.rows_out for r in r1] == [5, 5, 5]
+        # partition is a directory of fragments, readable transparently
+        import os
+
+        part0 = tmp_path / "out" / "part-00000.parquet"
+        assert part0.is_dir() and len(list(part0.iterdir())) >= 1
+        assert pq.read_table(str(part0)).num_rows == 5
+        assert done_partitions(out) == {0, 1, 2}
+
+        # resume skips everything; damaging a dir re-runs only it
+        calls.clear()
+        run_partitioned(list(range(3)), out, process)
+        assert calls == []
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "out" / "part-00001.parquet"))
+        r3 = run_partitioned(list(range(3)), out, process)
+        assert calls == [1]
+        assert [r.skipped for r in r3] == [True, False, True]
+        # deterministic content → deterministic directory checksum
+        m = {e.partition: e.sha256 for e in r3}
+        assert m[1] == r1[1].sha256
+
     def test_torn_manifest_entry_reprocessed(self, tmp_path):
         out = str(tmp_path / "out")
         run_partitioned([1], out, lambda i: pa.table({"x": pa.array([i], pa.int64())}))
