@@ -1,15 +1,23 @@
-"""Mergeable sketches — HyperLogLog approximate count-distinct.
+"""Mergeable sketches — HyperLogLog approximate count-distinct and a
+t-digest for approximate quantiles.
 
-The canonical "pre-aggregate then merge" citizen (ray_guide: emit one
-serialized sketch per batch, merge in a tiny second stage): registers are a
-numpy uint8 array, per-batch update is vectorized, merge is elementwise max —
-so a 10^12-row distinct count shuffles ``n_blocks × n_groups`` fixed-size
-register arrays instead of every value.
+The canonical "pre-aggregate then merge" citizens (ray_guide: emit one
+serialized sketch per batch, merge in a tiny second stage): per-batch update
+is vectorized, merge is cheap, and the shuffle moves ``n_blocks × n_groups``
+fixed-size sketches instead of every value.
 
 Standard HLL (Flajolet et al. 2007, public algorithm): m = 2^p registers,
 register j keeps the max leading-zero rank of hashed values routed to j;
 estimate = alpha_m * m^2 / sum(2^-reg) with the usual small-range
 (linear counting) correction.
+
+t-digest (Dunning & Ertl, public algorithm, merging variant): values
+cluster into ≤ ~delta/2 centroids bucketed by the k1 scale function
+k(q) = δ/2π·asin(2q−1), which keeps clusters small near the tails where
+quantiles need resolution; quantiles interpolate over centroid-midpoint
+cumulative weights. Unlike the exact co-location kernel (relational.py
+q34/q40), memory is O(delta) per group regardless of group size — the
+default shape for unbounded groups at 100 TB.
 """
 
 from __future__ import annotations
@@ -162,6 +170,197 @@ def approx_distinct(
             rows_est.append(int(round(sk.estimate())))
         cols = _key_arrays(rows_keys, batch.schema)
         cols[out] = pa.array(rows_est, pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(
+        _sketch_batch, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    co = partials.repartition(num_blocks=n, keys=keys)
+    return co.map_batches(_merge_block, batch_size=None, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# t-digest — mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Merging t-digest with fully vectorized compression.
+
+    Construction/merge cluster the (mean, weight) pairs by k1-scale bucket in
+    one numpy pass: sort by mean, midpoint ranks → q, bucket =
+    floor(k(q)), per-bucket weighted means via ``reduceat``. Buckets span at
+    most one k-unit, giving the standard rank-error bound ~O(1/delta) at the
+    median and tighter at the tails. min/max are tracked exactly so extreme
+    quantiles never extrapolate.
+    """
+
+    __slots__ = ("delta", "means", "weights", "vmin", "vmax")
+
+    def __init__(
+        self,
+        delta: int = 200,
+        means: np.ndarray | None = None,
+        weights: np.ndarray | None = None,
+        vmin: float = np.inf,
+        vmax: float = -np.inf,
+    ) -> None:
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.weights = weights if weights is not None else np.empty(0, np.float64)
+        self.vmin = vmin
+        self.vmax = vmax
+
+    @staticmethod
+    def _k(q: np.ndarray, delta: int) -> np.ndarray:
+        return delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.argsort(means, kind="mergesort")
+        m, w = means[order], weights[order]
+        total = w.sum()
+        q_mid = (np.cumsum(w) - w / 2.0) / total
+        buckets = np.floor(self._k(np.clip(q_mid, 0.0, 1.0), self.delta)).astype(np.int64)
+        starts = np.nonzero(np.concatenate(([True], buckets[1:] != buckets[:-1])))[0]
+        out_w = np.add.reduceat(w, starts)
+        self.means = np.add.reduceat(m * w, starts) / out_w
+        self.weights = out_w
+
+    def update(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._compress(
+            np.concatenate((self.means, v)),
+            np.concatenate((self.weights, np.ones(v.size, np.float64))),
+        )
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.means.size == 0:
+            return self
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._compress(
+            np.concatenate((self.means, other.means)),
+            np.concatenate((self.weights, other.weights)),
+        )
+        return self
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        total = self.weights.sum()
+        mids = np.cumsum(self.weights) - self.weights / 2.0
+        xp = np.concatenate(([0.0], mids, [total]))
+        fp = np.concatenate(([self.vmin], self.means, [self.vmax]))
+        return float(np.interp(q * total, xp, fp))
+
+    @property
+    def n(self) -> float:
+        return float(self.weights.sum())
+
+    def serialize(self) -> bytes:
+        import struct
+
+        head = struct.pack("<iiff", self.delta, len(self.means), 0, 0)
+        # min/max as float64 after the fixed head
+        import numpy as _np
+
+        return (
+            head
+            + _np.array([self.vmin, self.vmax], _np.float64).tobytes()
+            + self.means.tobytes()
+            + self.weights.tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "TDigest":
+        import struct
+
+        delta, n, _, _ = struct.unpack_from("<iiff", data, 0)
+        off = struct.calcsize("<iiff")
+        mm = np.frombuffer(data, np.float64, count=2, offset=off)
+        off += 16
+        means = np.frombuffer(data, np.float64, count=n, offset=off).copy()
+        off += 8 * n
+        weights = np.frombuffer(data, np.float64, count=n, offset=off).copy()
+        return cls(delta, means, weights, float(mm[0]), float(mm[1]))
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: dict[str, float],
+    *,
+    delta: int = 200,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate per-group quantiles with bounded memory: per-batch t-digest
+    rows (one O(delta) sketch per key per batch) → keyed repartition of the
+    sketches → per-block merge + quantile estimates. ``qs`` maps output column
+    name → quantile (e.g. ``{"p50": 0.5, "p95": 0.95}``).
+
+    This is the default shape for UNBOUNDED groups: unlike the exact
+    co-location kernel (q34/q40), no block ever holds a whole group — a group
+    1000× the worker heap costs the same ``~delta`` centroids. Rank-error
+    bound pytest: tests/test_sketch.py.
+    """
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
+
+    def _key_arrays(rows_keys: list[tuple], schema: pa.Schema) -> dict[str, pa.Array]:
+        import pandas as pd
+
+        return {
+            k: pa.array(
+                [None if pd.isna(r[i]) else r[i] for r in rows_keys],
+                type=schema.field(k).type,
+            )
+            for i, k in enumerate(keys)
+        }
+
+    def _sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        rows_keys: list[tuple] = []
+        rows_sk: list[bytes] = []
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            rows_keys.append(kv)
+            rows_sk.append(
+                TDigest(delta).update(grp[value_col].to_numpy(np.float64, na_value=np.nan)).serialize()
+            )
+        cols = _key_arrays(rows_keys, batch.schema)
+        cols["__sketch"] = pa.array(rows_sk, pa.large_binary())
+        return pa.table(cols)
+
+    def _merge_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {
+                k: pa.array([], type=batch.schema.field(k).type)
+                if k in batch.schema.names
+                else pa.array([])
+                for k in keys
+            }
+            for name in qs:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        df = batch.to_pandas()
+        rows_keys, rows_q = [], {name: [] for name in qs}
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            sk = TDigest.deserialize(grp["__sketch"].iloc[0])
+            for s in grp["__sketch"].iloc[1:]:
+                sk.merge(TDigest.deserialize(s))
+            rows_keys.append(kv)
+            for name, q in qs.items():
+                rows_q[name].append(sk.quantile(q))
+        cols = _key_arrays(rows_keys, batch.schema)
+        for name in qs:
+            cols[name] = pa.array(rows_q[name], pa.float64())
         return pa.table(cols)
 
     partials = ds.map_batches(

@@ -364,7 +364,11 @@ def q34_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group quantiles: keyed repartition co-locates each group,
     then numpy linear-interpolation percentiles per block (== SQL
     quantile_cont). Medians don't decompose into partial aggregates, so
-    co-location IS the algorithm — the partitioning assumption is the key."""
+    co-location IS the algorithm — valid only while each group fits a worker
+    block (bounded-cardinality groups like the 5 event types here). For
+    unbounded groups the default is the mergeable t-digest
+    (functions/sketch.py::approx_quantiles, x_approx_quantiles) — O(delta)
+    memory per group at any group size, rank error ≲1e-3 at delta=200."""
     from ..context import default_num_partitions, ensure_hash_shuffle
 
     ensure_hash_shuffle()
@@ -577,9 +581,10 @@ def q40_value_describe(sf_dir: str) -> ray.data.Dataset:
     count/mean/std/min/quartiles/max of event value per event_type. Moments
     decompose into partials, but quartiles don't — so like q34 the keyed
     repartition co-locates each group and one vectorized numpy pass per
-    block computes the whole describe row per group. Mean is
-    round(sum)/count and std is rounded at 6dp on both engines (summation-
-    order ulp noise; see functions/agg.py docstrings)."""
+    block computes the whole describe row per group (bounded-cardinality
+    groups only; unbounded groups use the t-digest path, see q34's
+    docstring). Mean is round(sum)/count and std is rounded at 6dp on both
+    engines (summation-order ulp noise; see functions/agg.py docstrings)."""
     import numpy as np
 
     from ..context import default_num_partitions, ensure_hash_shuffle

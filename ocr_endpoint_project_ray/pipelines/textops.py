@@ -775,6 +775,18 @@ def x_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     return approx_distinct(ds, ["event_type"], "user_id")
 
 
+def x_approx_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """t-digest approximate per-group quantiles — the bounded-memory default
+    for UNBOUNDED groups (q34/q40's exact kernel co-locates whole groups and
+    is kept for bounded cardinalities only; a group 1000× the worker heap
+    costs this path the same ~delta centroids). Rank-error bound pytest:
+    tests/test_sketch.py."""
+    from ..functions.sketch import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles(ds, ["event_type"], "value", {"p50": 0.5, "p95": 0.95})
+
+
 def q49_frame_sample(sf_dir: str) -> ray.data.Dataset:
     """Temporal-media explode: synthesized media rows → video subset →
     actor-pool frame sampling (1→N, order carried in frame_no). The stub
@@ -898,4 +910,5 @@ TEXT_QUERIES = {
     "x_embed_dupes": x_embed_dupes,
     "x_minhash_groups": x_minhash_groups,
     "x_approx_distinct_users": x_approx_distinct_users,
+    "x_approx_quantiles": x_approx_quantiles,
 }

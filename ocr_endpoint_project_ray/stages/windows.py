@@ -10,6 +10,18 @@ Partitioning assumption (documented per SURVEY §2 custom-operator rule):
 all events of one ``user_id`` must be co-located in one block — guaranteed by
 ``repartition(keys=["user_id"])`` under the hash-shuffle strategy. Within the
 block everything is numpy (no per-row Python).
+
+Key skew: a single pathological user makes that co-located block unbounded,
+so both operators have a time-range-salted twin (``sessionize_salted``,
+``rolling_window_salted``) partitioned on ``(user_id, ts // span_us)`` —
+the same mega-key strategy as the extraction path's ``salt = offset //
+shard_size`` (stages/extract.py). Sessionize repairs bucket boundaries by
+merging per-bucket SESSION SUMMARIES in a second keyed pass (data volume =
+sessions, not events); rolling windows duplicate each bucket's trailing
+``window_us`` of rows into the next bucket as read-only context (exact
+because the RANGE frame's lookback is bounded by ``window_us ≤ span_us``).
+Property tests assert salted/unsalted parity on a corpus where one user owns
+half the events (tests/test_skew_and_errors.py).
 """
 
 from __future__ import annotations
@@ -159,5 +171,252 @@ def rolling_window(
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        fn_kwargs={"window_us": window_us},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range-salted twins (mega-key strategy)
+# ---------------------------------------------------------------------------
+
+
+def _add_time_bucket(span_us: int):
+    def _f(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.divide(ts, span_us)  # event ts are non-negative
+        return batch.append_column("bucket", pc.cast(bucket, pa.int64()))
+
+    return _f
+
+
+def _sessionize_partial_block(batch: pa.Table, gap_us: int) -> pa.Table:
+    """Phase-1 kernel for the salted path: per-user session summaries within
+    the block with RAW sums (rounding happens once, after the boundary
+    merge). Grouping by user alone is sound even when several buckets of one
+    user share a block: merging on true inter-event gaps is confluent — any
+    partial merge agrees with the final one."""
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_ts": pa.array([], pa.int64()),
+                "end_ts": pa.array([], pa.int64()),
+                "sum_raw": pa.array([], pa.float64()),
+            }
+        )
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+    )
+    users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    values = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    n = len(users)
+    new_user = np.concatenate(([True], users[1:] != users[:-1]))
+    gap = np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+    is_start = new_user | gap
+    starts_idx = np.nonzero(is_start)[0]
+    ends_idx = np.concatenate((starts_idx[1:], [n]))
+    return pa.table(
+        {
+            "user_id": pa.array(users[starts_idx], pa.int64()),
+            "n_events": pa.array(ends_idx - starts_idx, pa.int64()),
+            "start_ts": pa.array(ts[starts_idx], pa.int64()),
+            "end_ts": pa.array(ts[ends_idx - 1], pa.int64()),
+            "sum_raw": pa.array(np.add.reduceat(values, starts_idx), pa.float64()),
+        }
+    )
+
+
+def _merge_sessions_block(batch: pa.Table, gap_us: int) -> pa.Table:
+    """Phase-2 kernel: all SESSION SUMMARIES of a user co-located; merge
+    chains whose inter-summary gap ≤ gap_us, renumber session_id per user,
+    round the sum once. The loop runs over summaries (sessions), not events —
+    that is the whole point of the salting."""
+    out_schema = {
+        "user_id": pa.int64(),
+        "session_id": pa.int64(),
+        "n_events": pa.int64(),
+        "start_ts": pa.timestamp("us"),
+        "end_ts": pa.timestamp("us"),
+        "sum_value": pa.float64(),
+    }
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[("user_id", "ascending"), ("start_ts", "ascending"), ("end_ts", "ascending")],
+        )
+    )
+    users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    starts = batch.column("start_ts").combine_chunks().to_numpy(zero_copy_only=False)
+    ends = batch.column("end_ts").combine_chunks().to_numpy(zero_copy_only=False)
+    counts = batch.column("n_events").combine_chunks().to_numpy(zero_copy_only=False)
+    sums = batch.column("sum_raw").combine_chunks().to_numpy(zero_copy_only=False)
+    o_user, o_sid, o_n, o_start, o_end, o_sum = [], [], [], [], [], []
+    i, n = 0, len(users)
+    while i < n:
+        u = users[i]
+        sid = 0
+        while i < n and users[i] == u:
+            sid += 1
+            c_start, c_end = starts[i], ends[i]
+            c_n, c_sum = int(counts[i]), float(sums[i])
+            i += 1
+            while i < n and users[i] == u and starts[i] - c_end <= gap_us:
+                c_end = max(c_end, ends[i])
+                c_n += int(counts[i])
+                c_sum += float(sums[i])
+                i += 1
+            o_user.append(u)
+            o_sid.append(sid)
+            o_n.append(c_n)
+            o_start.append(int(c_start))
+            o_end.append(int(c_end))
+            o_sum.append(c_sum)
+    return pa.table(
+        {
+            "user_id": pa.array(o_user, pa.int64()),
+            "session_id": pa.array(o_sid, pa.int64()),
+            "n_events": pa.array(o_n, pa.int64()),
+            "start_ts": pa.array(o_start, pa.int64()).cast(pa.timestamp("us")),
+            "end_ts": pa.array(o_end, pa.int64()).cast(pa.timestamp("us")),
+            "sum_value": py_round_array(pa.array(o_sum, pa.float64()), 2),
+        }
+    )
+
+
+def sessionize_salted(
+    events: ray.data.Dataset,
+    *,
+    gap_us: int = DEFAULT_GAP_US,
+    span_us: int = 24 * 3_600_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-safe sessionize: phase 1 partitions on ``(user_id, ts//span_us)``
+    so a mega-user's events spread over ~time-range/span blocks; phase 2
+    merges the per-bucket session summaries (keyed by user alone, but the
+    data is now sessions — orders of magnitude smaller than events; a user
+    with pathologically many sessions bounds phase 2, not phase 1). Output
+    identical to :func:`sessionize` (property test with a 50 %-skew user)."""
+    ensure_hash_shuffle()
+    n = num_partitions or default_num_partitions(per_cpu=1)
+    bucketed = events.map_batches(
+        _add_time_bucket(span_us), batch_size=None, batch_format="pyarrow"
+    )
+    co = bucketed.repartition(num_blocks=n, keys=["user_id", "bucket"])
+    partial = co.map_batches(
+        _sessionize_partial_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        fn_kwargs={"gap_us": gap_us},
+    )
+    co2 = partial.repartition(num_blocks=n, keys=["user_id"])
+    return co2.map_batches(
+        _merge_sessions_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        fn_kwargs={"gap_us": gap_us},
+    )
+
+
+def _rolling_salt_explode(span_us: int, window_us: int):
+    def _f(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        bucket = pc.cast(pc.divide(ts, span_us), pa.int64())
+        own = batch.append_column("bucket", bucket).append_column(
+            "is_ctx", pa.array([False] * batch.num_rows, pa.bool_())
+        )
+        # trailing window_us of each bucket also feeds the NEXT bucket as
+        # read-only context (exact: RANGE lookback ≤ window_us ≤ span_us)
+        next_edge = pc.multiply(pc.add(bucket, 1), span_us)
+        tail = pc.greater_equal(ts, pc.subtract(next_edge, window_us))
+        ctx = batch.filter(tail)
+        ctx_bucket = pc.add(pc.cast(pc.divide(pc.cast(ctx.column("ts"), pa.int64()), span_us), pa.int64()), 1)
+        ctx = ctx.append_column("bucket", ctx_bucket).append_column(
+            "is_ctx", pa.array([True] * ctx.num_rows, pa.bool_())
+        )
+        return pa.concat_tables([own, ctx])
+
+    return _f
+
+
+def _rolling_block_salted(batch: pa.Table, window_us: int) -> pa.Table:
+    """Like ``_rolling_block`` but grouped on (user_id, bucket); context rows
+    (previous bucket's tail) join the prefix sums but are not emitted."""
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table({})
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("bucket", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+    )
+    users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    buckets = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    is_ctx = batch.column("is_ctx").combine_chunks().to_numpy(zero_copy_only=False)
+    m = len(users)
+    new_grp = np.concatenate(
+        ([True], (users[1:] != users[:-1]) | (buckets[1:] != buckets[:-1]))
+    )
+    starts = np.nonzero(new_grp)[0]
+    ends = np.concatenate((starts[1:], [m]))
+    n_out = np.empty(m, dtype=np.int64)
+    sum_out = np.empty(m, dtype=np.float64)
+    for s, e in zip(starts, ends):
+        seg_ts = ts[s:e]
+        prefix = np.concatenate(([0.0], np.cumsum(vals[s:e])))
+        lo = np.searchsorted(seg_ts, seg_ts - window_us, side="left")
+        hi = np.searchsorted(seg_ts, seg_ts, side="right")
+        n_out[s:e] = hi - lo
+        sum_out[s:e] = prefix[hi] - prefix[lo]
+    own = ~is_ctx
+    return pa.table(
+        {
+            "user_id": batch.column("user_id").filter(pa.array(own)),
+            "event_id": batch.column("event_id").filter(pa.array(own)),
+            "n_window": pa.array(n_out[own]),
+            "sum_value": py_round_array(pa.array(sum_out[own], pa.float64()), 2),
+        }
+    )
+
+
+def rolling_window_salted(
+    events: ray.data.Dataset,
+    *,
+    window_us: int = 3_600_000_000,
+    span_us: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-safe rolling window: partition on ``(user_id, ts//span_us)``;
+    each bucket receives the previous bucket's trailing ``window_us`` of rows
+    as context, so every row's full RANGE frame is in-block. Exact (requires
+    ``span_us ≥ window_us``); output identical to :func:`rolling_window`.
+    Duplication overhead = window/span fraction of rows (~4 % at the
+    default 24× window)."""
+    ensure_hash_shuffle()
+    span = span_us or 24 * window_us
+    if span < window_us:
+        raise ValueError(f"span_us ({span}) must be >= window_us ({window_us})")
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
+    exploded = events.map_batches(
+        _rolling_salt_explode(span, window_us), batch_size=None, batch_format="pyarrow"
+    )
+    co = exploded.repartition(num_blocks=n, keys=["user_id", "bucket"])
+    return co.map_batches(
+        _rolling_block_salted,
+        batch_size=None,
+        batch_format="pyarrow",
         fn_kwargs={"window_us": window_us},
     )

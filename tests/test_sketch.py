@@ -58,3 +58,66 @@ class TestDupGroups:
         )
         out = {r["doc_id"]: r["cluster"] for r in dup_groups_from_pairs(pairs).to_pylist()}
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+class TestTDigest:
+    def test_rank_error_bound(self):
+        """Dunning's bound: rank error ~O(1/delta); at delta=200 empirically
+        ≲1e-3 — assert a conservative 0.005 across the quantile range on a
+        skewed distribution."""
+        from ocr_endpoint_project_ray.functions.sketch import TDigest
+
+        rng = np.random.default_rng(7)
+        v = rng.lognormal(0.0, 1.5, 100_000)
+        d = TDigest(200).update(v)
+        assert len(d.means) <= 200  # bounded regardless of input size
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99):
+            est = d.quantile(q)
+            rank = float((v <= est).mean())
+            assert abs(rank - q) <= 0.005, (q, rank)
+        # extremes are exact (tracked min/max)
+        assert d.quantile(0.0) == v.min()
+        assert d.quantile(1.0) == v.max()
+
+    def test_merge_matches_single_pass_bound(self):
+        """Sharded build + merge must stay within the same rank-error bound
+        as one-shot construction (mergeability is what makes it a per-batch
+        combiner)."""
+        from ocr_endpoint_project_ray.functions.sketch import TDigest
+
+        rng = np.random.default_rng(11)
+        v = rng.standard_normal(80_000) * 10.0
+        shards = [TDigest(200).update(s) for s in np.array_split(v, 17)]
+        merged = shards[0]
+        for s in shards[1:]:
+            merged.merge(TDigest.deserialize(s.serialize()))  # exercise (de)serialize
+        for q in (0.05, 0.5, 0.95):
+            rank = float((v <= merged.quantile(q)).mean())
+            assert abs(rank - q) <= 0.005, (q, rank)
+
+    def test_approx_quantiles_operator_vs_exact(self):
+        """Distributed t-digest per group tracks numpy's exact quantiles;
+        NaN values are ignored; group sizes differ by 100×."""
+        from ocr_endpoint_project_ray.functions.sketch import approx_quantiles
+
+        rng = np.random.default_rng(3)
+        sizes = {"big": 50_000, "small": 500}
+        keys, vals = [], []
+        for k, n in sizes.items():
+            keys.extend([k] * n)
+            vals.extend(rng.gamma(2.0, 3.0, n).tolist())
+        keys.append("big")
+        vals.append(float("nan"))
+        tbl = pa.table({"g": pa.array(keys), "value": pa.array(vals, pa.float64())})
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        out = {
+            r["g"]: (r["p50"], r["p95"])
+            for r in approx_quantiles(
+                ds, ["g"], "value", {"p50": 0.5, "p95": 0.95}, num_partitions=2
+            ).take_all()
+        }
+        arr = {k: np.array([v for kk, v in zip(keys, vals) if kk == k and v == v]) for k in sizes}
+        for k in sizes:
+            for (q, est) in zip((0.5, 0.95), out[k]):
+                rank = float((arr[k] <= est).mean())
+                assert abs(rank - q) <= 0.01, (k, q, rank)

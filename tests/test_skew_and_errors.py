@@ -82,3 +82,130 @@ def test_ocr_actor_stage_stub():
     )
     out = stage(batch)
     assert out.column("text").to_pylist()[0].startswith("[ocr ")
+
+
+# ---------------------------------------------------------------------------
+# Salted/unsalted parity for per-key window & as-of ops (mega-key strategy)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_events(n: int = 4000, n_users: int = 20, seed: int = 5):
+    """Event corpus where user 1 owns HALF the events (the pathological key
+    the unsalted ops would co-locate into one unbounded block)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    users = np.where(rng.random(n) < 0.5, 1, rng.integers(2, n_users + 1, n))
+    # ts over ~10 days in us, bursty (so sessions/windows span salt buckets)
+    ts = np.sort(rng.integers(0, 10 * 24 * 3_600_000_000, n))
+    values = np.round(rng.random(n) * 100, 2)
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(values, pa.float64()),
+        }
+    )
+
+
+def _rows_set(ds, cols):
+    return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+
+def test_sessionize_salted_parity():
+    from ocr_endpoint_project_ray.stages.windows import sessionize, sessionize_salted
+
+    tbl = _skewed_events()
+    gap = 45 * 60 * 1_000_000  # 45 min, larger than typical inter-event gap
+    cols = ["user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value"]
+    plain = _rows_set(
+        sessionize(ray.data.from_arrow(tbl).repartition(8), gap_us=gap, num_partitions=4), cols
+    )
+    # span 6h → sessions frequently cross bucket boundaries
+    salted = _rows_set(
+        sessionize_salted(
+            ray.data.from_arrow(tbl).repartition(8),
+            gap_us=gap,
+            span_us=6 * 3_600_000_000,
+            num_partitions=4,
+        ),
+        cols,
+    )
+    assert plain == salted
+
+
+def test_rolling_window_salted_parity():
+    from ocr_endpoint_project_ray.stages.windows import rolling_window, rolling_window_salted
+
+    tbl = _skewed_events(seed=9)
+    cols = ["user_id", "event_id", "n_window", "sum_value"]
+    window = 2 * 3_600_000_000  # 2h
+    plain = _rows_set(
+        rolling_window(ray.data.from_arrow(tbl).repartition(8), window_us=window, num_partitions=4),
+        cols,
+    )
+    salted = _rows_set(
+        rolling_window_salted(
+            ray.data.from_arrow(tbl).repartition(8),
+            window_us=window,
+            span_us=3 * 3_600_000_000,  # barely above window → heavy context traffic
+            num_partitions=4,
+        ),
+        cols,
+    )
+    assert plain == salted
+
+
+def test_rolling_window_salted_rejects_small_span():
+    import pytest
+
+    from ocr_endpoint_project_ray.stages.windows import rolling_window_salted
+
+    with pytest.raises(ValueError, match="span_us"):
+        rolling_window_salted(
+            ray.data.from_arrow(_skewed_events(100)), window_us=100, span_us=50
+        )
+
+
+def test_asof_salted_parity():
+    from ocr_endpoint_project_ray.stages.asof import (
+        asof_join_latest_ts,
+        asof_join_latest_ts_salted,
+    )
+
+    tbl = _skewed_events(seed=13)
+    # left = odd event ids, right = even; right sparse for some users so many
+    # lefts must look back across several salt buckets (and some find nothing)
+    import pyarrow.compute as pc
+
+    left_tbl = tbl.filter(pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 1))
+    right_tbl = tbl.filter(
+        pc.and_(
+            pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0),
+            pc.less(pc.bit_wise_and(tbl.column("event_id"), 7), 2),  # sparse
+        )
+    ).drop_columns(["value"])
+    cols = ["user_id", "event_id", "asof_ts"]
+    plain = _rows_set(
+        asof_join_latest_ts(
+            ray.data.from_arrow(left_tbl).repartition(6),
+            ray.data.from_arrow(right_tbl).repartition(6),
+            key="user_id",
+            num_partitions=4,
+        ),
+        cols,
+    )
+    salted = _rows_set(
+        asof_join_latest_ts_salted(
+            ray.data.from_arrow(left_tbl).repartition(6),
+            ray.data.from_arrow(right_tbl).repartition(6),
+            key="user_id",
+            span_us=12 * 3_600_000_000,
+            num_partitions=4,
+        ),
+        cols,
+    )
+    assert plain == salted
+    # sanity: the skew corpus actually exercises cross-bucket lookback
+    assert any(v[2] is None for v in plain) and any(v[2] is not None for v in plain)
