@@ -53,19 +53,47 @@ def _hash64_array(values: list) -> np.ndarray:
     return out
 
 
-class HllSketch:
-    __slots__ = ("p", "registers")
+def _hash64_md5_array(values: list) -> np.ndarray:
+    """md5-prefix 64-bit hashes — the SQL-twin hash: DuckDB computes the
+    identical value as ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))
+    ::UBIGINT`` (first 8 digest bytes, big-endian), which is what makes the
+    whole HLL pipeline oracle-able (q50)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(hashlib.md5(str(v).encode("utf-8")).digest()[:8], "big")
+    return out
 
-    def __init__(self, p: int = 12, registers: np.ndarray | None = None) -> None:
+
+_HASHERS = {"blake2b": _hash64_array, "md5": _hash64_md5_array}
+
+
+def exact_arith_constant(p: int) -> float:
+    """The double ``alpha_m · m² · 2^R`` (R = 64−p+1) used by the
+    exact-arithmetic HLL estimate. Computed in ONE place and interpolated
+    into the SQL oracle via ``repr`` (round-trips the exact double), so the
+    engine and DuckDB divide the identical constant by the identical integer
+    S_num — the whole estimate differs only by one IEEE division on each
+    side, which is deterministic."""
+    m = 1 << p
+    return _alpha(m) * (m * m) * float(1 << (64 - p + 1))
+
+
+class HllSketch:
+    __slots__ = ("p", "registers", "hasher")
+
+    def __init__(
+        self, p: int = 12, registers: np.ndarray | None = None, hasher: str = "blake2b"
+    ) -> None:
         self.p = p
         self.registers = (
             registers if registers is not None else np.zeros(1 << p, dtype=np.uint8)
         )
+        self.hasher = hasher
 
     def update(self, values: list) -> "HllSketch":
         if not values:
             return self
-        h = _hash64_array(values)
+        h = _HASHERS[self.hasher](values)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
         # rank = leading zeros of the remaining 64-p bits, +1 (cap at 64-p+1)
@@ -99,13 +127,35 @@ class HllSketch:
                 return m * float(np.log(m / zeros))
         return float(est)
 
+    def estimate_exact_arith(self) -> int:
+        """SQL-twin estimate: S = Σ2^-reg is carried as the exact integer
+        ``S_num = Σ 2^(R−reg)`` (Python int — no summation-order float
+        noise), then ONE IEEE division against the shared
+        :func:`exact_arith_constant`; the small-range (linear counting)
+        branch mirrors the oracle's CASE. Returns ``floor(est)`` (int(x)
+        truncation == SQL CAST(floor(x) AS BIGINT) for positive x)."""
+        import math
+
+        m = len(self.registers)
+        big_r = 64 - self.p + 1
+        s_num = sum(1 << (big_r - int(r)) for r in self.registers)
+        est = exact_arith_constant(self.p) / float(s_num)
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        return int(math.floor(est))
+
     def serialize(self) -> bytes:
-        return bytes([self.p]) + self.registers.tobytes()
+        return bytes([self.p, 0 if self.hasher == "blake2b" else 1]) + self.registers.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HllSketch":
-        p = data[0]
-        return cls(p, np.frombuffer(data[1:], dtype=np.uint8).copy())
+        p, hcode = data[0], data[1]
+        return cls(
+            p,
+            np.frombuffer(data[2:], dtype=np.uint8).copy(),
+            hasher="blake2b" if hcode == 0 else "md5",
+        )
 
 
 def approx_distinct(
@@ -116,10 +166,16 @@ def approx_distinct(
     p: int = 12,
     out: str = "approx_distinct",
     num_partitions: int | None = None,
+    hasher: str = "blake2b",
+    arith: str = "float",
 ) -> ray.data.Dataset:
     """Approximate distinct ``value_col`` per key group: per-batch HLL
     sketches (one serialized sketch row per key per batch) → keyed
-    repartition of the fixed-size sketches → per-block merge + estimate."""
+    repartition of the fixed-size sketches → per-block merge + estimate.
+
+    ``hasher="md5"`` + ``arith="exact"`` select the SQL-twin configuration
+    (q50): md5-prefix hashing DuckDB can reproduce, and the exact-integer
+    estimate arithmetic that removes float summation-order noise."""
     n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
 
     def _key_arrays(rows_keys: list[tuple], schema: pa.Schema) -> dict[str, pa.Array]:
@@ -144,7 +200,9 @@ def approx_distinct(
             rows_keys.append(kv)
             # COUNT(DISTINCT) ignores nulls; feeding them to the sketch would
             # count str(None)/NaN as an extra distinct value vs the exact path.
-            rows_sk.append(HllSketch(p).update(grp[value_col].dropna().tolist()).serialize())
+            rows_sk.append(
+                HllSketch(p, hasher=hasher).update(grp[value_col].dropna().tolist()).serialize()
+            )
         cols = _key_arrays(rows_keys, batch.schema)
         cols["__sketch"] = pa.array(rows_sk, pa.large_binary())
         return pa.table(cols)
@@ -167,7 +225,9 @@ def approx_distinct(
             for s in grp["__sketch"].iloc[1:]:
                 sk.merge(HllSketch.deserialize(s))
             rows_keys.append(kv)
-            rows_est.append(int(round(sk.estimate())))
+            rows_est.append(
+                sk.estimate_exact_arith() if arith == "exact" else int(round(sk.estimate()))
+            )
         cols = _key_arrays(rows_keys, batch.schema)
         cols[out] = pa.array(rows_est, pa.int64())
         return pa.table(cols)

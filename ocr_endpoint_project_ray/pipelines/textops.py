@@ -775,6 +775,24 @@ def x_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     return approx_distinct(ds, ["event_type"], "user_id")
 
 
+def q50_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """HLL approximate COUNT(DISTINCT) — SQL-ORACLED. The full sketch
+    pipeline (hash → register route → rank → max-merge → estimate) runs
+    distributed, and DuckDB reproduces it bit-for-bit because (a) the hash is
+    the md5-prefix uint64 both engines compute identically, (b) the register
+    ranks are integer bit arithmetic, and (c) the estimate carries
+    S = Σ2^-reg as an exact integer S_num so each side performs exactly ONE
+    IEEE division by the shared constant (functions/sketch.py::
+    exact_arith_constant). p=4 keeps the oracle's register grid small; the
+    production path (x_approx_distinct_users) uses blake2b at p=12."""
+    from ..functions.sketch import approx_distinct
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(
+        ds, ["event_type"], "user_id", p=4, out="approx_users", hasher="md5", arith="exact"
+    )
+
+
 def x_approx_quantiles(sf_dir: str) -> ray.data.Dataset:
     """t-digest approximate per-group quantiles — the bounded-memory default
     for UNBOUNDED groups (q34/q40's exact kernel co-locates whole groups and
@@ -880,6 +898,58 @@ def _langid_oracle_sql() -> str:
 TEXT_ORACLES["q45_langid"] = _langid_oracle_sql()
 
 
+def _q50_oracle_sql() -> str:
+    """SQL twin of the md5/exact-arith HLL (q50): mirrors sketch.py register
+    routing (idx = h>>60, rank = 61 − bitlen(low 60 bits), max per register),
+    the integer S_num = Σ 2^(61−reg) over all 16 registers (missing → 0),
+    the single division by the engine's own constant (repr round-trips the
+    exact double), and the small-range CASE. Groups whose values are all
+    NULL keep zeroed registers on both sides (the grid CTE)."""
+    from ..functions.sketch import exact_arith_constant
+
+    c = exact_arith_constant(4)
+    return f"""
+        WITH vals AS (
+            SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+        h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+            FROM vals),
+        ranks AS (
+            SELECT event_type, CAST(hv >> 60 AS INTEGER) AS idx,
+                   CASE WHEN hv % 1152921504606846976 = 0 THEN 61
+                        ELSE 61 - length(bin(hv % 1152921504606846976)) END AS rank
+            FROM h),
+        regs AS (
+            SELECT event_type, idx, max(rank) AS reg
+            FROM ranks GROUP BY event_type, idx),
+        grid AS (
+            SELECT et.event_type, CAST(j.j AS INTEGER) AS idx
+            FROM (SELECT DISTINCT event_type FROM events) et, unnest(range(16)) AS j(j)),
+        full_regs AS (
+            SELECT g.event_type, COALESCE(r.reg, 0) AS reg
+            FROM grid g LEFT JOIN regs r
+              ON g.event_type = r.event_type AND g.idx = r.idx),
+        snum AS (
+            SELECT event_type,
+                   sum(CAST(2305843009213693952 AS BIGINT) >> CAST(reg AS INTEGER)) AS s_num,
+                   sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM full_regs GROUP BY event_type),
+        est AS (
+            SELECT event_type,
+                   CAST({c!r} AS DOUBLE) / CAST(s_num AS DOUBLE) AS raw, zeros
+            FROM snum)
+        SELECT event_type,
+               CAST(floor(CASE WHEN raw <= 40.0 AND zeros > 0
+                               THEN 16.0 * ln(16.0 / zeros) ELSE raw END) AS BIGINT)
+                   AS approx_users
+        FROM est
+    """
+
+
+TEXT_ORACLES["q50_approx_distinct_users"] = _q50_oracle_sql()
+
+
 TEXT_QUERIES = {
     "q14_doc_dedup": q14_doc_dedup,
     "q15_doc_fingerprint": q15_doc_fingerprint,
@@ -903,6 +973,7 @@ TEXT_QUERIES = {
     "q49_frame_sample": q49_frame_sample,
     "q41_simhash": q41_simhash,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
+    "q50_approx_distinct_users": q50_approx_distinct_users,
     "x_minhash_pairs": x_minhash_pairs,
     "x_ann_lsh": x_ann_lsh,
     "x_ann_ivf": x_ann_ivf,

@@ -121,3 +121,25 @@ class TestTDigest:
             for (q, est) in zip((0.5, 0.95), out[k]):
                 rank = float((arr[k] <= est).mean())
                 assert abs(rank - q) <= 0.01, (k, q, rank)
+
+
+class TestHllExactArith:
+    def test_md5_exact_arith_matches_reference_formula(self):
+        """The SQL-twin estimate (integer S_num + one division) must agree
+        with the float formula to within one count, and serialization must
+        carry the hasher."""
+        import math
+
+        from ocr_endpoint_project_ray.functions.sketch import HllSketch, exact_arith_constant
+
+        sk = HllSketch(4, hasher="md5").update([f"u{i}" for i in range(500)])
+        rt = HllSketch.deserialize(sk.serialize())
+        assert rt.hasher == "md5"
+        assert (rt.registers == sk.registers).all()
+        got = sk.estimate_exact_arith()
+        # same quantity via the float path (no small-range branch at n=500)
+        s = float(np.sum(np.exp2(-sk.registers.astype(np.float64))))
+        ref = exact_arith_constant(4) / (s * float(1 << 61))
+        assert abs(got - math.floor(ref)) <= 1
+        # m=16 HLL: within ~3 sigma (sigma = 1.04/sqrt(16) = 26%)
+        assert 100 <= got <= 1500
