@@ -46,3 +46,29 @@ def test_asof_semantics():
     # user 3's only view is after the purchase → none (no bleed from other keys)
     assert out[300] is None
     assert len(out) == 4
+
+
+def test_asof_salted_empty_right():
+    """Salted path with an empty right side: every left row gets null."""
+    from ocr_endpoint_project_ray.stages.asof import asof_join_latest_ts_salted
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2], pa.int64()),
+                "event_id": pa.array([10, 20], pa.int64()),
+                "ts": pa.array([1000, 2000], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+    )
+    out = asof_join_latest_ts_salted(left, right, key="user_id", num_partitions=2).take_all()
+    assert len(out) == 2 and all(r["asof_ts"] is None for r in out)
