@@ -143,3 +143,63 @@ class TestHllExactArith:
         assert abs(got - math.floor(ref)) <= 1
         # m=16 HLL: within ~3 sigma (sigma = 1.04/sqrt(16) = 26%)
         assert 100 <= got <= 1500
+
+
+class TestExactQuantilesTwoPass:
+    def test_bit_exact_vs_duckdb_with_refinement(self):
+        """Forced multi-pass refinement (tiny collect_cap) on skewed data
+        with a duplicate mass must reproduce DuckDB quantile_cont BIT-exact
+        — the whole point of mirroring the interpolation op order."""
+        import duckdb
+
+        from ocr_endpoint_project_ray.functions.quantiles import grouped_quantiles_exact
+
+        rng = np.random.default_rng(2)
+        n = 20000
+        g = rng.choice(["a", "b", "c"], n, p=[0.8, 0.15, 0.05])
+        v = np.round(rng.lognormal(1, 1, n) * 100, 2)
+        v[::97] = 42.42  # duplicate mass inside one bin
+        tbl = pa.table({"g": pa.array(g), "value": pa.array(v, pa.float64())})
+        out = grouped_quantiles_exact(
+            ray.data.from_arrow(tbl).repartition(6),
+            ["g"],
+            "value",
+            {"p50": 0.5, "p95": 0.95},
+            bins=64,
+            collect_cap=300,
+            num_partitions=2,
+        )
+        got = {r["g"]: (r["p50"], r["p95"]) for r in out.to_pylist()}
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exact = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                "SELECT g, quantile_cont(value, 0.5), quantile_cont(value, 0.95)"
+                " FROM t GROUP BY g"
+            ).fetchall()
+        }
+        assert got == exact
+
+    def test_edge_groups(self):
+        """All-identical group (point interval), null-only group, group
+        smaller than collect_cap."""
+        from ocr_endpoint_project_ray.functions.quantiles import grouped_quantiles_exact
+
+        tbl = pa.table(
+            {
+                "g": pa.array(["x"] * 100 + ["y"] + ["z"] * 3),
+                "value": pa.array([7.0] * 100 + [None] + [1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+        out = grouped_quantiles_exact(
+            ray.data.from_arrow(tbl).repartition(3),
+            ["g"],
+            "value",
+            {"p50": 0.5},
+            bins=16,
+            collect_cap=2,
+            num_partitions=2,
+        )
+        got = {r["g"]: r["p50"] for r in out.to_pylist()}
+        assert got == {"x": 7.0, "y": None, "z": 2.0}
