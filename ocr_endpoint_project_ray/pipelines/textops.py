@@ -983,3 +983,51 @@ TEXT_QUERIES = {
     "x_approx_distinct_users": x_approx_distinct_users,
     "x_approx_quantiles": x_approx_quantiles,
 }
+
+
+# ---------------------------------------------------------------------------
+# q51: exact n-gram Jaccard pairs (registered in __ray_entry__ AFTER the
+# driver's 50-entry check window — new oracled queries append at the end of
+# the oracled block so they can't displace driver-checked rows; see the
+# ordering note in __ray_entry__.queries()).
+# ---------------------------------------------------------------------------
+
+
+def q51_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """EXACT word-3-gram Jaccard near-dup pairs over documents — the
+    no-approximation counterpart of x_minhash_pairs (stages/dedup.py::
+    jaccard_pairs_exact): inverted md5-shingle index, max_df=32 stop-shingle
+    bound (part of the semantics, mirrored in SQL), jaccard >= 0.1."""
+    from ..stages.dedup import jaccard_pairs_exact
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_pairs_exact(ds, ngram=3, max_df=32, threshold=0.1)
+
+
+#: SQL twin of q51 — md5-prefix shingle keys reproduce the engine's hashed
+#: (collision-inclusive) shingle identity; jaccard is one int/int double
+#: division on both sides, so the hash check is exact with no rounding.
+Q51_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 16))::UBIGINT AS s
+  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i)
+),
+keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 32),
+shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+             JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
+"""

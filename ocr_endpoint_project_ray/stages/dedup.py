@@ -775,3 +775,247 @@ def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 def hamming_distance64(a: int, b: int) -> int:
     return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted shingle index)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_md5_rows(
+    batch: pa.Table, *, text_col: str, id_col: str, ngram: int
+) -> pa.Table:
+    """Per doc: distinct word-``ngram`` shingles → md5-prefix int64 rows.
+
+    The shingle hash is the top 8 bytes of md5 over the space-joined shingle
+    string (the q41 pattern) so the DuckDB oracle reproduces the keys —
+    and therefore any hash collision — bit-for-bit; collisions are then a
+    (negligible, mirrored) semantic of the operator, not a parity risk.
+    Docs shorter than ``ngram`` tokens emit nothing (no shingle set — the
+    SQL twin's ``range`` lateral is empty for them too)."""
+    global _SIMHASH_TOKEN_RE
+    if _SIMHASH_TOKEN_RE is None:
+        import re
+
+        from ..functions.text import TOKEN_RE
+
+        _SIMHASH_TOKEN_RE = re.compile(TOKEN_RE)
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_sh: list[int] = []
+    out_doc: list[int] = []
+    cache: dict[str, int] = {}
+    for doc, t in zip(ids, texts):
+        words = _SIMHASH_TOKEN_RE.findall(t or "")
+        if len(words) < ngram:
+            continue
+        seen: set[int] = set()
+        for i in range(len(words) - ngram + 1):
+            s = " ".join(words[i : i + ngram])
+            h = cache.get(s)
+            if h is None:
+                h = _md5_hash64(s)
+                cache[s] = h
+            seen.add(h)
+        out_sh.extend(seen)
+        out_doc.extend([doc] * len(seen))
+    sh = np.asarray(out_sh, dtype=np.uint64).astype(np.int64)  # two's-complement view
+    return pa.table(
+        {"sh": pa.array(sh, pa.int64()), "doc": pa.array(out_doc, pa.int64())}
+    )
+
+
+def _shingle_index_block(batch: pa.Table, *, max_df: int) -> pa.Table:
+    """Per block (post keyed repartition — every row of a shingle is here):
+    drop stop-shingles (document frequency > ``max_df``), then emit union
+    rows ``(a, b, cnt)``:
+
+    - pair rows ``(doc_a, doc_b, 1)`` for each shingle shared by 2..max_df
+      docs (``a < b``) — the df bound is what keeps per-shingle pair output
+      O(max_df²) at any scale (the LSH path's ``max_bucket`` analogue, but
+      here it is part of the operator's *semantics* and mirrored in SQL, so
+      it costs no oracle divergence);
+    - size rows ``(doc, -1, k)`` counting each doc's surviving shingles in
+      this block (shingles are partitioned, so block-partials sum to the
+      per-doc distinct-shingle count).
+    """
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    batch = batch.take(
+        pc.sort_indices(batch, sort_keys=[("sh", "ascending"), ("doc", "ascending")])
+    )
+    sh = np.asarray(batch.column("sh").combine_chunks())
+    doc = np.asarray(batch.column("doc").combine_chunks())
+    starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+    ends = np.concatenate((starts[1:], [len(sh)]))
+    df = ends - starts
+    keep_runs = df <= max_df
+    a_out: list[int] = []
+    b_out: list[int] = []
+    c_out: list[int] = []
+    size_acc: dict[int, int] = {}
+    for s, e, k in zip(starts, ends, keep_runs):
+        if not k:
+            continue
+        run = doc[s:e]
+        for d in run:
+            size_acc[int(d)] = size_acc.get(int(d), 0) + 1
+        for x in range(len(run)):
+            for y in range(x + 1, len(run)):
+                a_out.append(int(run[x]))
+                b_out.append(int(run[y]))
+                c_out.append(1)
+    for d, k in size_acc.items():
+        a_out.append(d)
+        b_out.append(-1)
+        c_out.append(k)
+    if not a_out:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "cnt": pa.array(c_out, pa.int64()),
+        }
+    )
+
+
+def jaccard_pairs_exact(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    max_df: int = 32,
+    threshold: float = 0.1,
+    num_partitions: int | None = None,
+    sizes_join: str = "broadcast",
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard similarity pairs — no minhash approximation.
+
+    Inverted shingle index: distinct md5-hashed word-``ngram`` shingles per
+    doc → keyed repartition on the shingle → per-bucket pair emission with
+    the ``max_df`` stop-shingle rule (a shingle appearing in more than
+    ``max_df`` docs identifies nothing and is dropped from the index — from
+    intersections AND set sizes, identically in the SQL twin, so parity is
+    exact). One grouped sum turns pair rows into intersection counts and
+    sentinel rows into per-doc set sizes; ``jaccard = |A∩B| / (|A|+|B|-|A∩B|)``
+    is a single int/int double division — bit-identical to DuckDB by
+    construction, no rounding discipline needed.
+
+    Scale: the shuffle moves (int64 shingle, int64 doc) rows; per-shingle
+    work is O(max_df²); the aggregated pair/size table is candidate-pairs +
+    docs sized. ``sizes_join='broadcast'`` (default) resolves set sizes via
+    a driver-collected dict — right when the surviving-pair universe is
+    bounded; pass ``'hash'`` for the fully distributed twin (two
+    ``Dataset.join``s), path-parity pytest in tests/test_dedup_minhash.py.
+    This operator is the exact counterpart of ``minhash_lsh_pairs`` (the
+    approximate scale path for unbounded corpora).
+
+    Reference analogue: none — training-data extension (SURVEY §2.8);
+    complements the reference's duplicate-upload md5 check
+    (`app_pages/parallel_ocr_test.py` fixture reuse) with content-level
+    near-dup detection.
+    """
+    from ..functions.agg import Agg, grouped_agg
+
+    n = num_partitions or min(default_keyed_partitions(), 8)
+    rows = ds.map_batches(
+        lambda b: _shingle_md5_rows(b, text_col=text_col, id_col=id_col, ngram=ngram),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    co = rows.repartition(num_blocks=n, keys=["sh"])
+    mixed = co.map_batches(
+        lambda b: _shingle_index_block(b, max_df=max_df),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    agg = grouped_agg(
+        mixed, ["a", "b"], [Agg("n", "cnt", "sum")], num_partitions=n
+    ).materialize()  # small by construction: candidate pairs + one row per doc
+
+    def _only_pairs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("b"), 0))
+
+    def _only_sizes(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("b"), -1)).select(["a", "n"])
+
+    out_schema = {
+        "doc_a": pa.int64(),
+        "doc_b": pa.int64(),
+        "jaccard": pa.float64(),
+    }
+
+    def _empty_out() -> pa.Table:
+        return pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+
+    if sizes_join == "hash":
+        from ..functions.join import hash_join
+
+        pairs = agg.map_batches(_only_pairs, batch_size=None, batch_format="pyarrow")
+        sizes = agg.map_batches(_only_sizes, batch_size=None, batch_format="pyarrow").map_batches(
+            lambda b: b.rename_columns(["doc", "sz"]), batch_size=None, batch_format="pyarrow"
+        )
+        j = hash_join(pairs, sizes, on="a", right_on="doc", num_partitions=n)
+        j = j.map_batches(
+            lambda b: b.rename_columns(
+                ["na" if c == "sz" else c for c in b.column_names]
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        j = hash_join(j, sizes, on="b", right_on="doc", num_partitions=n)
+
+        def _final_hash(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _empty_out()
+            inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
+            na = np.asarray(b.column("na").combine_chunks(), dtype=np.int64)
+            nb = np.asarray(b.column("sz").combine_chunks(), dtype=np.int64)
+            jac = inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(np.asarray(b.column("a").combine_chunks())[keep], pa.int64()),
+                    "doc_b": pa.array(np.asarray(b.column("b").combine_chunks())[keep], pa.int64()),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
+                }
+            )
+
+        return j.map_batches(_final_hash, batch_size=None, batch_format="pyarrow")
+
+    # broadcast path: collect the (docs-sized) size table once
+    sizes_map: dict[int, int] = {
+        r["a"]: r["n"]
+        for r in agg.map_batches(_only_sizes, batch_size=None, batch_format="pyarrow").take_all()
+    }
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = _only_pairs(b)
+        if b.num_rows == 0:
+            return _empty_out()
+        a = np.asarray(b.column("a").combine_chunks(), dtype=np.int64)
+        bb = np.asarray(b.column("b").combine_chunks(), dtype=np.int64)
+        inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
+        na = np.fromiter((sizes_map[int(x)] for x in a), dtype=np.int64, count=len(a))
+        nb = np.fromiter((sizes_map[int(x)] for x in bb), dtype=np.int64, count=len(bb))
+        jac = inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(bb[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_size=None, batch_format="pyarrow")

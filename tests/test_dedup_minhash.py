@@ -128,3 +128,74 @@ def test_minhash_rejects_indivisible_bands():
     ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["hello world"]}))
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs(ds, num_perm=64, bands=10)
+
+
+class TestJaccardPairsExact:
+    def _docs(self):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [
+            base,
+            base + " extra",                     # near-dup of 0
+            base.replace("quick", "slow"),       # near-dup of 0
+            "completely different text about ray data pipelines and arrow tables",
+            "completely different text about ray data pipelines and arrow kernels",
+            "sh",                                # < ngram tokens: no shingles
+        ]
+        return pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+
+    def test_broadcast_and_hash_paths_agree(self):
+        from ocr_endpoint_project_ray.stages.dedup import jaccard_pairs_exact
+
+        ds = ray.data.from_arrow(self._docs()).repartition(3)
+        key = lambda rows: sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows)
+        b = key(jaccard_pairs_exact(ds, threshold=0.1, num_partitions=2).take_all())
+        h = key(
+            jaccard_pairs_exact(
+                ds, threshold=0.1, num_partitions=2, sizes_join="hash"
+            ).take_all()
+        )
+        assert b == h and len(b) >= 2  # the two near-dup families both pair up
+        pairs = {(a, bb) for a, bb, _ in b}
+        assert (0, 1) in pairs and (3, 4) in pairs
+
+    def test_exact_values_vs_brute_force(self):
+        from ocr_endpoint_project_ray.functions.text import word_ngrams
+        from ocr_endpoint_project_ray.stages.dedup import jaccard_pairs_exact
+
+        tbl = self._docs()
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_exact(ds, threshold=0.05, num_partitions=2).take_all()
+        }
+        texts = tbl.column("text").to_pylist()
+        # brute force over full (unhashed) shingle sets; corpus has no
+        # stop-shingles (max_df=32 > n_docs) and no md5 collisions
+        sets = {
+            i: {s for s in word_ngrams(t, 3)} if len(t.split()) >= 3 else set()
+            for i, t in enumerate(texts)
+        }
+        for (a, b), j in got.items():
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            assert j == inter / union, (a, b)
+
+    def test_stop_shingle_bound(self):
+        """A shingle present in more than max_df docs is dropped from the
+        index on BOTH sides of the jaccard — a degenerate common phrase
+        cannot create an O(n²) bucket."""
+        from ocr_endpoint_project_ray.stages.dedup import jaccard_pairs_exact
+
+        n = 12
+        texts = [f"common shared prefix unique{i} tail{i} word{i}" for i in range(n)]
+        tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        # "common shared prefix" appears in all 12 docs; max_df=4 drops it,
+        # leaving each doc only its unique shingles -> zero pairs.
+        out = jaccard_pairs_exact(ds, max_df=4, threshold=0.01, num_partitions=2).take_all()
+        assert out == []
+        # with the bound relaxed the common shingle pairs everything up
+        out2 = jaccard_pairs_exact(ds, max_df=32, threshold=0.01, num_partitions=2).take_all()
+        assert len(out2) == n * (n - 1) // 2
