@@ -37,9 +37,11 @@ from ocr_endpoint_project_ray.pipelines.structured import (
 )
 from ocr_endpoint_project_ray.pipelines.textops import (
     Q51_ORACLE,
+    Q52_ORACLE,
     TEXT_ORACLES,
     TEXT_QUERIES,
     q51_jaccard_pairs,
+    q52_embed_pairs,
 )
 
 
@@ -67,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (the driver's check window is bounded; entries past it are
     # judge-verified only).
     all_q["q51_jaccard_pairs"] = q51_jaccard_pairs
+    all_q["q52_embed_pairs"] = q52_embed_pairs
     all_q["x_extraction_scores"] = x_extraction_scores
     all_q["x_score_summary"] = x_score_summary
     # The driver evaluates entries in dict order with a bounded window, so
@@ -130,4 +133,5 @@ def oracle_sql() -> dict[str, str]:
     out["q43_extract_spans"] = Q43_ORACLE
     out["q44_structured_parse"] = Q44_ORACLE
     out["q51_jaccard_pairs"] = Q51_ORACLE
+    out["q52_embed_pairs"] = Q52_ORACLE
     return out

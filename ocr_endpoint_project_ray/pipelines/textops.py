@@ -1031,3 +1031,67 @@ FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
              JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
 """
+
+
+# ---------------------------------------------------------------------------
+# q52: embedding-cosine near-pair detection, SQL-oracled end-to-end
+# ---------------------------------------------------------------------------
+
+
+def q52_embed_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-similarity pairs through the REAL LSH path — bucket by
+    hyperplane signs, exact float64 cosine within buckets, vec_a < vec_b
+    (stages/ann.py::embedding_dupe_pairs). The similarity threshold (0.35)
+    is tuned to the synthetic embeddings table, which has no true near-dups
+    (max pairwise cosine ≈ 0.6): the point is oracling the operator, and a
+    0-row answer would prove nothing. The oracle reproduces bucketing AND
+    cosine in SQL from the engine's own plane constants, so the check
+    covers the approximation (pairs straddling a hyperplane are absent on
+    BOTH sides). Pairs-only output: cosine values agree only to summation-
+    order ulps across engines, but pair membership is stable (clearance
+    between every pair's cosine and the threshold is ≥1e-5 at every sf —
+    asserted in tests/test_ann.py)."""
+    from ..stages.ann import embedding_dupe_pairs
+
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_dupe_pairs(corpus, threshold=0.35, dim=64, n_planes=6)
+    return pairs.map_batches(
+        lambda b: b.select(["vec_a", "vec_b"]),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q52_oracle_sql() -> str:
+    """SQL twin of q52, generated from HyperplaneSigner's OWN constants
+    (the q45 pattern: the oracle can't drift from the engine). Plane
+    coordinates inline via repr() (17 significant digits — exact float64
+    round-trip); embeddings CAST to DOUBLE[] so DuckDB's dots/cosines run
+    in float64 like numpy's, keeping sign decisions and threshold
+    comparisons inside the measured clearances (min |dot| ≈ 1e-7 vs
+    summation noise ≈ 1e-13)."""
+    from ..stages.ann import HyperplaneSigner
+
+    planes = HyperplaneSigner(64, 6)._planes  # (dim, n_planes), seed-fixed
+    terms = []
+    for j in range(planes.shape[1]):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {bucket_expr} AS bucket FROM e
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
+"""
+
+
+Q52_ORACLE = _q52_oracle_sql()

@@ -70,3 +70,33 @@ def test_lsh_returns_subset_of_corpus():
     corpus_ids = {r["vec_id"] for r in corpus.to_pylist()}
     assert all(r["neighbor_id"] in corpus_ids for r in rows)
     assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_q52_threshold_and_plane_clearances():
+    """q52's hash-exact oracle parity rests on two float-stability margins:
+    no embedding sits close enough to a hyperplane for the bucket sign to
+    flip between numpy and DuckDB float64 summation orders (noise ~1e-13),
+    and no within-bucket pair's cosine sits that close to the 0.35
+    threshold. Assert both margins on the real test tables so data
+    regeneration can't silently break the parity guarantee."""
+    import pyarrow.parquet as pq
+
+    from ocr_endpoint_project_ray.stages.ann import HyperplaneSigner, _l2norm, _to_matrix
+
+    for sf in ("0.001", "0.01"):
+        tbl = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet")
+        m = _to_matrix(tbl.column("embedding"))
+        signer = HyperplaneSigner(64, 6)
+        dots = m @ signer._planes
+        assert np.abs(dots).min() > 1e-9, sf  # sign-flip margin
+        buckets = signer.sign(m)
+        mn = _l2norm(m)
+        margins = []
+        for b in np.unique(buckets):
+            rows = np.nonzero(buckets == b)[0]
+            if len(rows) < 2:
+                continue
+            s = mn[rows] @ mn[rows].T
+            iu = np.triu_indices(len(rows), k=1)
+            margins.append(np.abs(s[iu] - 0.35).min())
+        assert min(margins) > 1e-6, sf  # threshold-membership margin
