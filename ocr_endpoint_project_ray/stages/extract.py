@@ -83,21 +83,23 @@ def strip_html_spans(batch: pa.Table) -> pa.Table:
     the loop touches only the masked rows once per batch. Column rebuild is
     vectorized.
     """
-    kinds = batch.column("kind")
-    mask = pc.equal(kinds, "html")
-    if pc.sum(pc.cast(mask, pa.int32())).as_py() == 0:
+    kinds = batch.column("kind").combine_chunks()
+    mask = pc.coalesce(pc.equal(kinds, "html"), False)
+    n_masked = pc.sum(pc.cast(mask, pa.int32())).as_py()
+    if n_masked == 0:
         return batch
-    mask_np = mask.combine_chunks().to_numpy(zero_copy_only=False)
-    texts = batch.column("text").to_pylist()
-    kinds_list = kinds.to_pylist()
-    for i in np.nonzero(mask_np)[0]:
-        texts[i] = strip_boilerplate(texts[i])
-        kinds_list[i] = "text"
-    return batch.set_column(
-        batch.schema.get_field_index("kind"), "kind", pa.array(kinds_list, pa.string())
-    ).set_column(
-        batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+    # touch ONLY the masked rows: filter → per-string transform → scatter
+    # back with replace_with_mask (the unmasked ~2/3 of the column never
+    # round-trips through Python — r2 verdict minor #5)
+    masked_texts = batch.column("text").combine_chunks().filter(mask).to_pylist()
+    stripped = pa.array([strip_boilerplate(t) for t in masked_texts], pa.string())
+    new_text = pc.replace_with_mask(batch.column("text").combine_chunks(), mask, stripped)
+    new_kind = pc.replace_with_mask(
+        kinds, mask, pa.array(["text"] * n_masked, pa.string())
     )
+    return batch.set_column(
+        batch.schema.get_field_index("kind"), "kind", new_kind
+    ).set_column(batch.schema.get_field_index("text"), "text", new_text)
 
 
 #: Process-global OCR engine, lazily initialized once per worker process.
@@ -151,27 +153,29 @@ def ocr_media_spans(batch: pa.Table) -> pa.Table:
 
 
 def _ocr_apply(batch: pa.Table, engine: dict) -> pa.Table:
-    kinds = batch.column("kind")
-    mask = pc.is_in(kinds, value_set=pa.array(OcrStage.MEDIA_KINDS))
+    kinds = batch.column("kind").combine_chunks()
+    mask = pc.coalesce(pc.is_in(kinds, value_set=pa.array(OcrStage.MEDIA_KINDS)), False)
     if pc.sum(pc.cast(mask, pa.int32())).as_py() == 0:
         return batch
-    mask_np = mask.combine_chunks().to_numpy(zero_copy_only=False)
-    texts = batch.column("text").to_pylist()
-    refs = batch.column("media_ref").to_pylist()
-    for i in np.nonzero(mask_np)[0]:
+    # masked rows only (filter → OCR → replace_with_mask scatter): text
+    # spans — the bulk of the batch — never convert to Python
+    refs = batch.column("media_ref").combine_chunks().filter(mask).to_pylist()
+    out: list[str] = []
+    for ref in refs:
         try:
             if engine["kind"] == "stub":
-                digest = hashlib.md5(refs[i].encode("utf-8")).hexdigest()[:12]
-                texts[i] = f"[ocr {digest}]"
+                digest = hashlib.md5(ref.encode("utf-8")).hexdigest()[:12]
+                out.append(f"[ocr {digest}]")
             elif "ocr" in engine:
-                texts[i] = engine["ocr"](refs[i])
+                out.append(engine["ocr"](ref))
             else:
                 raise NotImplementedError(f"engine {engine['kind']!r} has no ocr callable")
         except Exception as e:  # in-band error, never an exception
-            texts[i] = f"[page error: {type(e).__name__}]"
-    return batch.set_column(
-        batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+            out.append(f"[page error: {type(e).__name__}]")
+    new_text = pc.replace_with_mask(
+        batch.column("text").combine_chunks(), mask, pa.array(out, pa.string())
     )
+    return batch.set_column(batch.schema.get_field_index("text"), "text", new_text)
 
 
 class OcrStage:
