@@ -71,6 +71,21 @@ def test_rows_only_query_runs(name, sf_dir):
         assert len(df) > 0, f"{name} returned no rows"
 
 
+def test_driver_window_ordering():
+    """The driver checks only the first ~50 queries() entries in dict order.
+    Every rows-only x_ check must come after every oracled query, and the
+    only oracled queries past position 50 must be the two documented
+    demotions (operators redundantly covered — see __ray_entry__.queries)."""
+    keys = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    first_rows_only = next(i for i, k in enumerate(keys) if k not in oracled)
+    assert all(k not in oracled for k in keys[first_rows_only:])
+    outside = [k for k in keys[50:] if k in oracled]
+    assert outside == [k for k in ("q13_minmax_suppliers", "q22_recommend_source") if k in oracled]
+    for must_have in ("q51_jaccard_pairs", "q52_embed_pairs", "q43_extract_spans", "q24_parse_validity_rates", "q44_structured_parse"):
+        assert must_have in keys[:50]
+
+
 def test_entry_runs():
     ds = entrymod.entry()
     df = _to_pandas(ds)
