@@ -38,6 +38,28 @@ def _init_ray(num_cpus: int) -> None:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:9]))
+        return v[7], sum(v)
+    except Exception:
+        return None
+
+
+def _steal_pct(before: tuple[int, int] | None) -> float | None:
+    """Hypervisor steal % across the measured span. This sandbox is
+    co-tenanted at the HOST level: guest load average stays near zero while
+    the hypervisor steals 10-40% of cycles, slowing CPU-bound runs 2-4×.
+    Recording steal alongside every measurement makes a slow number
+    attributable (see BASELINE.md measurement caveat)."""
+    after = _cpu_stat()
+    if before is None or after is None or after[1] == before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 1)
+
+
 def _tiled_docs(sf_dir: str, tile: int):
     """documents ×tile with deterministic per-tile doc_id offsets."""
     import pyarrow as pa
@@ -99,12 +121,18 @@ def run_headline(sf_dir: str, *, warmup: bool = True) -> dict:
             ray.data.read_parquet(corpus).limit(1000), salted=True, num_partitions=parts
         ).count()
 
+    stat0 = _cpu_stat()
     t0 = time.time()
     n = extract_documents(
         ray.data.read_parquet(corpus), salted=True, num_partitions=parts
     ).count()
     wall = time.time() - t0
-    return {"docs": n, "extraction_wall_sec": round(wall, 3), "docs_per_sec": round(n / wall, 1)}
+    return {
+        "docs": n,
+        "extraction_wall_sec": round(wall, 3),
+        "docs_per_sec": round(n / wall, 1),
+        "steal_pct": _steal_pct(stat0),
+    }
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -157,6 +185,8 @@ def main() -> None:
                         "wall_sec_32cpu": t32,
                         "docs_per_sec_8cpu": results[8]["docs_per_sec"],
                         "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+                        "steal_pct_8cpu": results[8].get("steal_pct"),
+                        "steal_pct_32cpu": results[32].get("steal_pct"),
                     },
                 }
             )
@@ -169,6 +199,7 @@ def main() -> None:
 
     try:
         headline = run_headline(SF_DIR)
+        qstat0 = _cpu_stat()
         queries = {} if (args.skip_queries or args.headline_only) else run_queries(SF_DIR)
         print(
             json.dumps(
@@ -181,6 +212,8 @@ def main() -> None:
                     "num_cpus": NUM_CPUS,
                     "docs": headline["docs"],
                     "docs_per_sec": headline["docs_per_sec"],
+                    "steal_pct": headline.get("steal_pct"),
+                    "queries_steal_pct": _steal_pct(qstat0) if queries else None,
                 }
             )
         )
