@@ -1095,3 +1095,87 @@ WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
 
 
 Q52_ORACLE = _q52_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# q53: MinHash+LSH near-dup pairs, SQL-oracled end-to-end
+# ---------------------------------------------------------------------------
+
+
+def q53_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """MinHash+LSH near-dup pairs through a FULLY SQL-replayable pipeline
+    (stages/dedup.py::minhash_pairs_md5): md5-seeded permutation signatures
+    (16 perms, 4 bands x 4 rows), md5 band keys, over-full-bucket drop rule,
+    exact md5-shingle Jaccard verify under the q51 stop-shingle bound.
+    Candidate generation AND verification are mirrored in the oracle, so the
+    check certifies the LSH approximation itself (pairs missed by banding
+    are absent on BOTH sides), not just the verify arithmetic. x_minhash_
+    pairs remains the fast production path (vectorized blake2b signatures);
+    this is its auditable twin."""
+    from ..stages.dedup import minhash_pairs_md5
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_pairs_md5(
+        ds, ngram=3, num_perm=16, bands=4, max_bucket=64, max_df=32, threshold=0.1
+    )
+
+
+#: SQL twin of q53. Stage by stage: sh = distinct word-3-gram shingle
+#: strings; hp = per-(doc, permutation) min of u64(md5(p||':'||shingle)) —
+#: the md5-seeded permutation family; bandstr/bk = md5-64 of the
+#: '|'-joined decimal signature slice (band index prefixed), matching the
+#: engine's band key including hash-collision behavior; ok = buckets with
+#: 2..64 members (the drop rule); cand = distinct intra-bucket pairs;
+#: verify = exact Jaccard over md5-shingle sets under the max_df=32
+#: stop-shingle rule (identical to Q51_ORACLE's index semantics). The
+#: jaccard is one int/int double division on both sides — hash-exact.
+Q53_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM tok, unnest(range(1, len(ts) - 1)) AS t(i)
+),
+hp AS (
+  SELECT doc_id, p.p AS p,
+         min(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':' || s), 1, 16))::UBIGINT) AS sig
+  FROM sh, unnest(range(16)) AS p(p)
+  GROUP BY doc_id, p.p
+),
+bandstr AS (
+  SELECT doc_id, p // 4 AS band,
+         CAST(p // 4 AS VARCHAR) || '#' ||
+         string_agg(CAST(sig AS VARCHAR), '|' ORDER BY p) AS bs
+  FROM hp GROUP BY doc_id, p // 4
+),
+bk AS (
+  SELECT doc_id, ('0x' || substr(md5(bs), 1, 16))::UBIGINT AS bkv FROM bandstr
+),
+ok AS (SELECT bkv FROM bk GROUP BY bkv HAVING count(*) BETWEEN 2 AND 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a
+  JOIN bk b ON a.bkv = b.bkv AND a.doc_id < b.doc_id
+  JOIN ok ON ok.bkv = a.bkv
+),
+shh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h FROM sh
+),
+keep AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 32),
+shf AS (SELECT shh.doc_id, shh.h FROM shh JOIN keep USING (h)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shf a ON a.doc_id = c.doc_a
+  JOIN shf b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+             JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
+"""

@@ -1019,3 +1019,329 @@ def jaccard_pairs_exact(
         )
 
     return agg.map_batches(_final, batch_size=None, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracle-able MinHash+LSH (md5-seeded permutations)
+# ---------------------------------------------------------------------------
+
+
+def _md5_sig_rows(
+    batch: pa.Table,
+    *,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    num_perm: int,
+    bands: int,
+) -> pa.Table:
+    """Per doc: md5-permutation MinHash signature → one (band_key, doc) row
+    per band.
+
+    The permutation family is ``h_p(shingle) = u64(md5(f"{p}:{shingle}"))``
+    (top 8 md5 bytes, the q41/q51 convention) so DuckDB reproduces every
+    signature value — and the band key is the md5-64 of
+    ``f"{band}#{sig|sig|...}"`` (decimal sig values, '|'-joined in
+    permutation order), so band-collision semantics (including the 2⁻⁶⁴
+    hash-collision tail) are mirrored bit-for-bit, not just approximated.
+    Docs with fewer than ``ngram`` tokens have no shingle set and emit
+    nothing (the SQL twin's lateral range is empty for them too).
+
+    Cost: num_perm md5 calls per DISTINCT shingle, cached across the batch
+    (near-dup corpora share most shingles). This is deliberately dearer than
+    ``MinHasher``'s vectorized universal hashing — use this operator when
+    the result must be independently checkable, ``minhash_lsh_pairs`` for
+    raw throughput.
+    """
+    global _SIMHASH_TOKEN_RE
+    if _SIMHASH_TOKEN_RE is None:
+        import re
+
+        from ..functions.text import TOKEN_RE
+
+        _SIMHASH_TOKEN_RE = re.compile(TOKEN_RE)
+    rows = num_perm // bands
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_bk: list[int] = []
+    out_doc: list[int] = []
+    cache: dict[str, np.ndarray] = {}
+    for doc, t in zip(ids, texts):
+        words = _SIMHASH_TOKEN_RE.findall(t or "")
+        if len(words) < ngram:
+            continue
+        sset = {" ".join(words[i : i + ngram]) for i in range(len(words) - ngram + 1)}
+        sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for s in sset:
+            hs = cache.get(s)
+            if hs is None:
+                if len(cache) > 500_000:  # bound worker memory
+                    cache.clear()
+                hs = np.fromiter(
+                    (_md5_hash64(f"{p}:{s}") for p in range(num_perm)),
+                    dtype=np.uint64,
+                    count=num_perm,
+                )
+                cache[s] = hs
+            np.minimum(sig, hs, out=sig)
+        for b in range(bands):
+            bs = f"{b}#" + "|".join(
+                str(int(sig[p])) for p in range(b * rows, (b + 1) * rows)
+            )
+            out_bk.append(int(np.uint64(_md5_hash64(bs)).astype(np.int64)))
+            out_doc.append(doc)
+    return pa.table(
+        {"band_key": pa.array(out_bk, pa.int64()), "doc": pa.array(out_doc, pa.int64())}
+    )
+
+
+def _bucket_pairs_dropover(batch: pa.Table, *, max_bucket: int) -> pa.Table:
+    """Per block (post keyed repartition on band_key): emit all intra-bucket
+    pairs (doc_a < doc_b) — DROPPING buckets larger than ``max_bucket``
+    outright (vs ``_bucket_pairs``' truncate-to-first-64). Drop semantics
+    are part of this operator's contract because the SQL twin mirrors them
+    exactly (``HAVING count(*) <= max_bucket``): an over-full bucket means
+    the band hash is uninformative, and both sides agree on its fate."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0 or "band_key" not in batch.column_names:
+        return empty
+    batch = batch.take(
+        pc.sort_indices(batch, sort_keys=[("band_key", "ascending"), ("doc", "ascending")])
+    )
+    keys = np.asarray(batch.column("band_key").combine_chunks())
+    docs = np.asarray(batch.column("doc").combine_chunks())
+    starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    ends = np.concatenate((starts[1:], [len(keys)]))
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2 or e - s > max_bucket:
+            continue
+        run = docs[s:e]
+        for x in range(len(run)):
+            for y in range(x + 1, len(run)):
+                a_out.append(int(run[x]))
+                b_out.append(int(run[y]))
+    if not a_out:
+        return empty
+    return pa.table(
+        {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+    )
+
+
+#: Per-worker-process candidate-set cache for the verify pass, keyed by the
+#: broadcast object ref (the functions/join.py pattern): the set deserializes
+#: once per process, not once per task.
+_CAND_CACHE: dict[str, tuple[set, set]] = {}
+
+
+def _get_cand_sets(cand_ref) -> tuple[set, set]:
+    key = cand_ref.hex()
+    if key not in _CAND_CACHE:
+        if len(_CAND_CACHE) > 4:
+            _CAND_CACHE.clear()
+        tbl: pa.Table = ray.get(cand_ref)
+        pairs = set(
+            zip(tbl.column("doc_a").to_pylist(), tbl.column("doc_b").to_pylist())
+        )
+        docs = {d for p in pairs for d in p}
+        _CAND_CACHE[key] = (pairs, docs)
+    return _CAND_CACHE[key]
+
+
+def _shingle_index_block_cand(
+    batch: pa.Table, *, max_df: int, cand_ref
+) -> pa.Table:
+    """``_shingle_index_block`` restricted to a broadcast candidate-pair set:
+    emits intersection rows only for candidate pairs and size sentinels only
+    for candidate docs, so output is O(candidates), not O(df²) per shingle.
+    The ``max_df`` stop-shingle rule applies identically (and is mirrored in
+    the SQL twin) — candidate pairs' Jaccard is computed over the
+    stop-filtered shingle sets, exactly as in ``jaccard_pairs_exact``."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0 or "sh" not in batch.column_names:
+        return empty
+    cand_pairs, cand_docs = _get_cand_sets(cand_ref)
+    batch = batch.take(
+        pc.sort_indices(batch, sort_keys=[("sh", "ascending"), ("doc", "ascending")])
+    )
+    sh = np.asarray(batch.column("sh").combine_chunks())
+    doc = np.asarray(batch.column("doc").combine_chunks())
+    starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+    ends = np.concatenate((starts[1:], [len(sh)]))
+    df = ends - starts
+    keep_runs = df <= max_df
+    a_out: list[int] = []
+    b_out: list[int] = []
+    c_out: list[int] = []
+    size_acc: dict[int, int] = {}
+    for s, e, k in zip(starts, ends, keep_runs):
+        if not k:
+            continue
+        run = doc[s:e]
+        members = [int(d) for d in run if int(d) in cand_docs]
+        for d in members:
+            size_acc[d] = size_acc.get(d, 0) + 1
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                if (members[x], members[y]) in cand_pairs:
+                    a_out.append(members[x])
+                    b_out.append(members[y])
+                    c_out.append(1)
+    for d, k in size_acc.items():
+        a_out.append(d)
+        b_out.append(-1)
+        c_out.append(k)
+    if not a_out:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "cnt": pa.array(c_out, pa.int64()),
+        }
+    )
+
+
+def minhash_pairs_md5(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    max_df: int = 32,
+    threshold: float = 0.1,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-dup pairs whose ENTIRE pipeline a SQL engine can
+    replay — candidate generation (md5-permutation signatures, md5 band
+    keys, over-full-bucket drop rule) AND exact-Jaccard verification
+    (md5-shingle sets under the ``max_df`` stop-shingle rule) are all
+    deterministic functions of the text that DuckDB reproduces bit-for-bit
+    (``pipelines/textops.py::Q53_ORACLE``). The fast production twin is
+    ``minhash_lsh_pairs`` (vectorized blake2b/universal hashing — same
+    shape, ~an order of magnitude cheaper signatures, rows-only checkable);
+    this operator is the auditable variant: run it on a sample to certify
+    the approximate path's behavior against an independent engine.
+
+    Shape (all stages streaming):
+    sign+band (task pool, md5 cache per batch) → keyed repartition on
+    band_key → per-bucket pair emit (drop over-full buckets) → keyed pair
+    dedup → exact verify via the ``jaccard_pairs_exact`` inverted index
+    restricted to the candidate set (candidate pairs broadcast once via
+    ``ray.put``, cached per worker process; output O(candidates)).
+    The broadcast bounds this operator to candidate sets that fit a worker
+    heap — guaranteed small by the banding + drop rule on real corpora; for
+    unbounded pair universes use ``minhash_lsh_pairs(verify_docs=...)``
+    (sharded verify, no broadcast).
+
+    Returns (doc_a, doc_b, jaccard) for pairs colliding in ≥1 band with
+    verified Jaccard ≥ ``threshold``.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
+    from ..functions.agg import Agg, grouped_agg
+
+    n = num_partitions or min(default_keyed_partitions(), 8)
+    band_rows = ds.map_batches(
+        _md5_sig_rows,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "ngram": ngram,
+            "num_perm": num_perm,
+            "bands": bands,
+        },
+    )
+    pairs = band_rows.repartition(num_blocks=n, keys=["band_key"]).map_batches(
+        _bucket_pairs_dropover,
+        batch_size=None,
+        batch_format="pyarrow",
+        fn_kwargs={"max_bucket": max_bucket},
+    )
+    cand = keyed_latest(pairs, ["doc_a", "doc_b"], [], num_partitions=n)
+    # candidate set is bounded by construction (banding + bucket drop rule);
+    # broadcast it once for the restricted verify pass
+    cand_tbl = pa.Table.from_pylist(
+        cand.take_all(),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
+    if cand_tbl.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_ref = ray.put(cand_tbl)
+    sh_rows = ds.map_batches(
+        lambda b: _shingle_md5_rows(b, text_col=text_col, id_col=id_col, ngram=ngram),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mixed = sh_rows.repartition(num_blocks=n, keys=["sh"]).map_batches(
+        _shingle_index_block_cand,
+        batch_size=None,
+        batch_format="pyarrow",
+        fn_kwargs={"max_df": max_df, "cand_ref": cand_ref},
+    )
+    agg = grouped_agg(
+        mixed, ["a", "b"], [Agg("n", "cnt", "sum")], num_partitions=n
+    ).materialize()  # bounded: candidate pairs + one size row per candidate doc
+    sizes_map: dict[int, int] = {
+        r["a"]: r["n"]
+        for r in agg.map_batches(
+            lambda b: b.filter(pc.equal(b.column("b"), -1)).select(["a", "n"]),
+            batch_size=None,
+            batch_format="pyarrow",
+        ).take_all()
+    }
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("b"), 0))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        a = np.asarray(b.column("a").combine_chunks(), dtype=np.int64)
+        bb = np.asarray(b.column("b").combine_chunks(), dtype=np.int64)
+        inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
+        na = np.fromiter((sizes_map[int(x)] for x in a), dtype=np.int64, count=len(a))
+        nb = np.fromiter((sizes_map[int(x)] for x in bb), dtype=np.int64, count=len(bb))
+        jac = inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(bb[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_size=None, batch_format="pyarrow")

@@ -199,3 +199,58 @@ class TestJaccardPairsExact:
         # with the bound relaxed the common shingle pairs everything up
         out2 = jaccard_pairs_exact(ds, max_df=32, threshold=0.01, num_partitions=2).take_all()
         assert len(out2) == n * (n - 1) // 2
+
+
+class TestMinhashPairsMd5:
+    """q53: the SQL-replayable MinHash+LSH path."""
+
+    def test_subset_of_exact_jaccard_with_equal_values(self):
+        """Every md5-minhash pair is an exact-Jaccard pair (same threshold,
+        same max_df), with a bit-identical jaccard value — banding can only
+        MISS pairs, never invent or perturb them."""
+        from ocr_endpoint_project_ray.stages.dedup import (
+            jaccard_pairs_exact,
+            minhash_pairs_md5,
+        )
+
+        ds = ray.data.from_arrow(_corpus()).repartition(3)
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_exact(ds, threshold=0.1, num_partitions=2).take_all()
+        }
+        mh = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in minhash_pairs_md5(ds, threshold=0.1, num_partitions=2).take_all()
+        }
+        assert mh, "high-similarity near-dups must survive banding"
+        for pair, j in mh.items():
+            assert pair in exact and exact[pair] == j, pair
+
+    def test_overfull_bucket_dropped(self):
+        """Identical docs all share every band bucket; with max_bucket below
+        the corpus size the bucket is dropped outright (the SQL-mirrored
+        drop rule) — zero pairs, not O(n²)."""
+        from ocr_endpoint_project_ray.stages.dedup import minhash_pairs_md5
+
+        n = 10
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["identical text shared by every doc here"] * n),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        out = minhash_pairs_md5(ds, max_bucket=4, threshold=0.01, num_partitions=2).take_all()
+        assert out == []
+        out2 = minhash_pairs_md5(ds, max_bucket=64, threshold=0.01, num_partitions=2).take_all()
+        assert len(out2) == n * (n - 1) // 2
+        assert all(r["jaccard"] == 1.0 for r in out2)
+
+    def test_rejects_indivisible_bands(self):
+        import pytest
+
+        from ocr_endpoint_project_ray.stages.dedup import minhash_pairs_md5
+
+        ds = ray.data.from_arrow(_corpus())
+        with pytest.raises(ValueError, match="divisible"):
+            minhash_pairs_md5(ds, num_perm=16, bands=5)

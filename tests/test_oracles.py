@@ -81,8 +81,19 @@ def test_driver_window_ordering():
     first_rows_only = next(i for i, k in enumerate(keys) if k not in oracled)
     assert all(k not in oracled for k in keys[first_rows_only:])
     outside = [k for k in keys[50:] if k in oracled]
-    assert outside == [k for k in ("q13_minmax_suppliers", "q22_recommend_source") if k in oracled]
-    for must_have in ("q51_jaccard_pairs", "q52_embed_pairs", "q43_extract_spans", "q24_parse_validity_rates", "q44_structured_parse"):
+    assert outside == [
+        k
+        for k in ("q13_minmax_suppliers", "q22_recommend_source", "q30_distinct_pairs")
+        if k in oracled
+    ]
+    for must_have in (
+        "q51_jaccard_pairs",
+        "q52_embed_pairs",
+        "q53_minhash_pairs",
+        "q43_extract_spans",
+        "q24_parse_validity_rates",
+        "q44_structured_parse",
+    ):
         assert must_have in keys[:50]
 
 
