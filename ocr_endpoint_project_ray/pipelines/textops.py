@@ -1179,3 +1179,92 @@ FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
              JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
 """
+
+
+# ---------------------------------------------------------------------------
+# q54: benchmark decontamination (cross-set substring containment)
+# ---------------------------------------------------------------------------
+
+
+def q54_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag every document whose text contains a
+    phrase from the benchmark set, reporting how many phrases hit.
+
+    The benchmark side of a decontamination pass is naturally tiny (an eval
+    suite), so the scale shape is broadcast-side containment: the phrase
+    set ships to every task ONCE and each batch is scanned with vectorized
+    Arrow ``match_substring`` (RE2-free plain bytes), one pass per phrase —
+    no shuffle at all, the corpus streams through untouched. A MB-scale
+    phrase set would move to ``ray.put`` + the per-process ref cache
+    (functions/join.py pattern); the semantics don't change.
+
+    Here the benchmark set is derived deterministically from the corpus
+    itself (words 4..8 of docs with doc_id%100==7, doc_id<1000 — a bounded
+    ≤10-phrase set at every sf), so the oracle can rebuild it: the source
+    docs self-flag by construction and their near-dup families flag with
+    them, giving a non-trivial answer at every scale.
+
+    Reference analogue: none — training-data extension (the dedup family's
+    cross-set counterpart: containment against a fixed benchmark, not
+    pairwise similarity)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _phrases(b: pa.Table) -> pa.Table:
+        import re
+
+        from ..functions.text import TOKEN_RE
+
+        tok = re.compile(TOKEN_RE)
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 100 != 7 or i >= 1000:
+                continue
+            ws = tok.findall(t or "")
+            if len(ws) >= 8:
+                out.append(" ".join(ws[3:8]))
+        return pa.table({"phrase": pa.array(out, pa.string())})
+
+    phrases = sorted(
+        {r["phrase"] for r in docs.map_batches(_phrases, batch_size=None, batch_format="pyarrow").take_all()}
+    )
+
+    def _flag(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = b.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        col = b.column("text")
+        for p in phrases:
+            m = pc.match_substring(col, pattern=p)
+            hits += np.asarray(m.combine_chunks(), dtype=np.int64)
+        keep = hits > 0
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_flag, batch_size=None, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: SQL twin of q54 — the benchmark set rebuilt from the same deterministic
+#: rule (1-based inclusive list slice ts[4:8] = the engine's words[3:8]),
+#: DISTINCT because near-dup source docs can share a phrase; containment is
+#: plain substring on both sides (contains() vs Arrow match_substring).
+Q54_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(ts[4:8], ' ') AS phrase
+  FROM tok
+  WHERE doc_id % 100 = 7 AND doc_id < 1000 AND len(ts) >= 8
+)
+SELECT d.doc_id, count(*) AS n_hits
+FROM documents d JOIN bench b ON contains(d.text, b.phrase)
+GROUP BY d.doc_id
+"""

@@ -83,7 +83,12 @@ def test_driver_window_ordering():
     outside = [k for k in keys[50:] if k in oracled]
     assert outside == [
         k
-        for k in ("q13_minmax_suppliers", "q22_recommend_source", "q30_distinct_pairs")
+        for k in (
+            "q54_decontaminate",
+            "q13_minmax_suppliers",
+            "q22_recommend_source",
+            "q30_distinct_pairs",
+        )
         if k in oracled
     ]
     for must_have in (
