@@ -121,17 +121,28 @@ def run_headline(sf_dir: str, *, warmup: bool = True) -> dict:
             ray.data.read_parquet(corpus).limit(1000), salted=True, num_partitions=parts
         ).count()
 
-    stat0 = _cpu_stat()
-    t0 = time.time()
-    n = extract_documents(
-        ray.data.read_parquet(corpus), salted=True, num_partitions=parts
-    ).count()
-    wall = time.time() - t0
+    # best-of-2 measured trials: host-level co-tenant steal is bursty
+    # (10-40% swings within a minute), so a single trial can read 2-4× slow;
+    # the min is the honest steady-state number, both trials are reported
+    trials: list[float] = []
+    steals: list[float | None] = []
+    n = 0
+    for _ in range(2):
+        stat0 = _cpu_stat()
+        t0 = time.time()
+        n = extract_documents(
+            ray.data.read_parquet(corpus), salted=True, num_partitions=parts
+        ).count()
+        trials.append(round(time.time() - t0, 3))
+        steals.append(_steal_pct(stat0))
+    best = min(range(len(trials)), key=lambda i: trials[i])
     return {
         "docs": n,
-        "extraction_wall_sec": round(wall, 3),
-        "docs_per_sec": round(n / wall, 1),
-        "steal_pct": _steal_pct(stat0),
+        "extraction_wall_sec": trials[best],
+        "docs_per_sec": round(n / trials[best], 1),
+        "steal_pct": steals[best],
+        "trials": trials,
+        "trial_steal_pct": steals,
     }
 
 
@@ -213,6 +224,8 @@ def main() -> None:
                     "docs": headline["docs"],
                     "docs_per_sec": headline["docs_per_sec"],
                     "steal_pct": headline.get("steal_pct"),
+                    "trials": headline.get("trials"),
+                    "trial_steal_pct": headline.get("trial_steal_pct"),
                     "queries_steal_pct": _steal_pct(qstat0) if queries else None,
                 }
             )
