@@ -40,12 +40,14 @@ from ocr_endpoint_project_ray.pipelines.textops import (
     Q52_ORACLE,
     Q53_ORACLE,
     Q54_ORACLE,
+    Q55_ORACLE,
     TEXT_ORACLES,
     TEXT_QUERIES,
     q51_jaccard_pairs,
     q52_embed_pairs,
     q53_minhash_pairs,
     q54_decontaminate,
+    q55_ann_lsh,
 )
 
 
@@ -72,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     all_q["q52_embed_pairs"] = q52_embed_pairs
     all_q["q53_minhash_pairs"] = q53_minhash_pairs
     all_q["q54_decontaminate"] = q54_decontaminate
+    all_q["q55_ann_lsh"] = q55_ann_lsh
     all_q["x_extraction_scores"] = x_extraction_scores
     all_q["x_score_summary"] = x_score_summary
     # The driver evaluates entries in dict order with a bounded (~50-entry)
@@ -148,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
     out["q52_embed_pairs"] = Q52_ORACLE
     out["q53_minhash_pairs"] = Q53_ORACLE
     out["q54_decontaminate"] = Q54_ORACLE
+    out["q55_ann_lsh"] = Q55_ORACLE
     return out

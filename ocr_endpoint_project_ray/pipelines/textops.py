@@ -1268,3 +1268,74 @@ SELECT d.doc_id, count(*) AS n_hits
 FROM documents d JOIN bench b ON contains(d.text, b.phrase)
 GROUP BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q55: LSH-bucketed approximate ANN, SQL-oracled end-to-end
+# ---------------------------------------------------------------------------
+
+
+def q55_ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    """LSH-bucketed approximate ANN top-5 (stages/ann.py::ann_topk_lsh, the
+    scale path of q23) with its approximation CERTIFIED by SQL: the oracle
+    rebuilds the hyperplane buckets from the engine's own plane constants
+    (the q52 pattern) and ranks candidates only within matching buckets, so
+    neighbors the bucketing misses are absent on BOTH sides. Rank-only
+    output (sim used for ordering, not emitted): numpy's normalize-then-dot
+    and DuckDB's cosine agree to summation-order ulps, and rank boundaries
+    have measured clearance ≫ that (asserted in tests/test_ann.py)."""
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = queries.filter(pc.less(queries.column("vec_id"), 8))
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _corpus_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("vec_id"), 8))
+
+    corpus = corpus.map_batches(
+        _corpus_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ann_topk_lsh(corpus, queries, k=5)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "nn_rank"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+def _q55_oracle_sql() -> str:
+    """SQL twin of q55, generated from HyperplaneSigner(64, 8)'s own plane
+    constants (the q52/q45 pattern — the oracle cannot drift from the
+    engine). Sign decisions use the raw DOUBLE vectors: the engine signs
+    the l2-normalized matrix, but normalization is a positive scaling and
+    cannot flip a dot's sign, so raw-vector sign tests are equivalent."""
+    from ..stages.ann import HyperplaneSigner
+
+    planes = HyperplaneSigner(64, 8)._planes  # (dim, n_planes), seed-fixed
+    terms = []
+    for j in range(planes.shape[1]):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {bucket_expr} AS bucket FROM e
+),
+q AS (SELECT vec_id AS qid, v AS qe, bucket FROM b WHERE vec_id < 8),
+c AS (SELECT vec_id AS nid, v AS ce, bucket FROM b WHERE vec_id >= 8),
+s AS (
+  SELECT qid, nid, list_cosine_similarity(qe, ce) AS sim
+  FROM q JOIN c USING (bucket)
+)
+SELECT qid AS query_id, nid AS neighbor_id, nn_rank FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS nn_rank
+  FROM s) WHERE nn_rank <= 5
+"""
+
+
+Q55_ORACLE = _q55_oracle_sql()

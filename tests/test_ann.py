@@ -100,3 +100,33 @@ def test_q52_threshold_and_plane_clearances():
             iu = np.triu_indices(len(rows), k=1)
             margins.append(np.abs(s[iu] - 0.35).min())
         assert min(margins) > 1e-6, sf  # threshold-membership margin
+
+
+def test_q55_rank_boundary_and_plane_clearances():
+    """q55's hash-exact oracle parity rests on: no embedding close enough to
+    an 8-plane hyperplane to flip bucket sign between summation orders, and
+    no adjacent candidate sims (per query, within matching buckets) close
+    enough for numpy-vs-DuckDB cosine noise (~1e-13) to reorder a rank.
+    Assert both margins on the real test tables."""
+    import pyarrow.parquet as pq
+
+    from ocr_endpoint_project_ray.stages.ann import HyperplaneSigner, _l2norm, _to_matrix
+
+    for sf in ("0.001", "0.01"):
+        tbl = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet")
+        ids = np.asarray(tbl.column("vec_id").to_pylist())
+        m = _to_matrix(tbl.column("embedding"))
+        signer = HyperplaneSigner(64, 8)
+        dots = m @ signer._planes
+        assert np.abs(dots).min() > 1e-9, sf  # sign-flip margin
+        buckets = signer.sign(m)
+        mn = _l2norm(m)
+        q_rows = np.nonzero(ids < 8)[0]
+        gaps = []
+        for qi in q_rows:
+            cand = np.nonzero((ids >= 8) & (buckets == buckets[qi]))[0]
+            if len(cand) < 2:
+                continue
+            sims = np.sort(mn[cand] @ mn[qi])
+            gaps.append(np.diff(sims).min())
+        assert gaps and min(gaps) > 1e-9, sf  # rank-order margin

@@ -85,6 +85,7 @@ def test_driver_window_ordering():
         k
         for k in (
             "q54_decontaminate",
+            "q55_ann_lsh",
             "q13_minmax_suppliers",
             "q22_recommend_source",
             "q30_distinct_pairs",
