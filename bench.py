@@ -147,6 +147,8 @@ def run_headline(sf_dir: str, *, warmup: bool = True) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
+    import gc
+
     import __ray_entry__ as em
 
     timings: dict[str, float] = {}
@@ -157,6 +159,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         if hasattr(result, "count"):
             result.count()
         timings[name] = round(time.time() - t0, 3)
+        # Ray Data plans carry reference cycles: without an explicit collect,
+        # completed Datasets (and their parked shuffle-aggregator actor
+        # pools, which reserve CPU) linger across the sweep and can wedge a
+        # later query's executor (same failure mode as tests/conftest.py).
+        del result
+        gc.collect()
     return timings
 
 
