@@ -153,6 +153,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(em.queries().items()):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         result = fn(sf_dir)
         # consume lazily-built datasets
@@ -214,7 +215,22 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _init_ray(NUM_CPUS)
+    import threading
+
     import ray
+
+    def _bounded_shutdown() -> None:
+        """ray.shutdown() after a 65-query sweep occasionally never returns
+        (hundreds of datasets / dozens of actor pools in one session;
+        observed three times, each with the JSON already printed). The
+        result line is flushed before this runs, so time-box the graceful
+        path and hard-exit — a hung teardown must not wedge the caller."""
+        t = threading.Thread(target=ray.shutdown, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
     try:
         headline = run_headline(SF_DIR)
@@ -239,7 +255,7 @@ def main() -> None:
             )
         )
     finally:
-        ray.shutdown()
+        _bounded_shutdown()
 
 
 if __name__ == "__main__":
