@@ -1235,7 +1235,10 @@ def q54_decontaminate(sf_dir: str) -> ray.data.Dataset:
 
         n = b.num_rows
         hits = np.zeros(n, dtype=np.int64)
-        col = b.column("text")
+        # Null text scores 0 hits (excluded), matching the oracle's
+        # NULL-excluding `contains(d.text, …)` join; without the fill a
+        # null poisons the boolean→int64 conversion below.
+        col = pc.fill_null(b.column("text"), "")
         for p in phrases:
             m = pc.match_substring(col, pattern=p)
             hits += np.asarray(m.combine_chunks(), dtype=np.int64)

@@ -1,0 +1,103 @@
+"""Edge-case tests for the training-sequence operators (stages/chunking.py):
+chunk explosion on short/empty/null docs, packing's shuffled-input dispatch
+parity with the range-partitioned fast path, repetition-signal null
+semantics, and redaction null propagation. Oracle parity on the stock
+corpus is covered by test_oracles' parametrized sweep (q56–q59)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_endpoint_project_ray.stages.chunking import (
+    chunk_tokens,
+    pack_sequences,
+    redact_pattern,
+    top_bigram_stats,
+)
+
+
+def _docs(rows: list[tuple[int, str | None]]) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+class TestChunkTokens:
+    def test_window_stride_explode(self):
+        ds = _docs([(1, " ".join(f"w{i}" for i in range(30)))])
+        out = sorted(chunk_tokens(ds, window=16, stride=12).take_all(), key=lambda r: r["chunk_no"])
+        # starts 0, 12, 24 -> lengths 16, 16, 6
+        assert [(r["chunk_no"], r["n_tokens"]) for r in out] == [(0, 16), (1, 16), (2, 6)]
+        assert out[0]["chunk_text"].split() == [f"w{i}" for i in range(16)]
+        assert out[2]["chunk_text"].split() == [f"w{i}" for i in range(24, 30)]
+
+    def test_short_empty_null_docs(self):
+        ds = _docs([(1, "one two"), (2, ""), (3, None), (4, "   \t ")])
+        out = chunk_tokens(ds, window=16, stride=12).take_all()
+        # only doc 1 emits (a single short chunk); 0-token docs emit nothing
+        assert [(r["doc_id"], r["chunk_no"], r["n_tokens"]) for r in out] == [(1, 0, 2)]
+
+    def test_stride_validation(self):
+        with pytest.raises(ValueError):
+            chunk_tokens(_docs([(1, "a")]), stride=0)
+
+
+class TestPackSequences:
+    def test_contiguous_fill_rule(self):
+        # token counts: 3, 4, 5, 2 -> exclusive prefix 0, 3, 7, 12 -> //5 = 0,0,1,2
+        ds = _docs([(0, "a b c"), (1, "a b c d"), (2, "a b c d e"), (3, "a b")])
+        out = {r["doc_id"]: r["seq_id"] for r in pack_sequences(ds, target_tokens=5).take_all()}
+        assert out == {0: 0, 1: 0, 2: 1, 3: 2}
+
+    def test_shuffled_blocks_match_sorted_path(self):
+        """Input whose blocks interleave doc_id must be range-shuffled once
+        and produce the identical assignment as presorted input."""
+        texts = [(i, " ".join("t" for _ in range(1 + i % 7))) for i in range(100)]
+        sorted_ds = _docs(texts).repartition(4)
+        # reverse order + repartition -> overlapping id ranges across blocks
+        shuffled_ds = _docs(texts[::-1]).repartition(4)
+        a = sorted(
+            pack_sequences(sorted_ds, target_tokens=16).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        b = sorted(
+            pack_sequences(shuffled_ds, target_tokens=16).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert a == b
+        # global invariant: seq_id is nondecreasing in doc_id order
+        seqs = [r["seq_id"] for r in a]
+        assert seqs == sorted(seqs)
+
+    def test_null_text_counts_zero(self):
+        ds = _docs([(0, "a b c d e"), (1, None), (2, "a")])
+        out = {r["doc_id"]: (r["n_tokens"], r["seq_id"]) for r in pack_sequences(ds, target_tokens=5).take_all()}
+        assert out == {0: (5, 0), 1: (0, 1), 2: (1, 1)}
+
+
+class TestTopBigram:
+    def test_repeated_bigram(self):
+        ds = _docs([(1, "a b a b a"), (2, "x"), (3, None)])
+        out = {r["doc_id"]: (r["top_bigram_count"], r["top_bigram_frac"]) for r in top_bigram_stats(ds).take_all()}
+        # doc 1: bigrams (a,b)x2 (b,a)x2 -> top 2 of 4
+        assert out[1] == (2, 0.5)
+        assert out[2] == (0, None)
+        assert out[3] == (0, None)
+
+
+class TestRedact:
+    def test_replacement_and_count(self):
+        ds = _docs([(1, "key is a value of keys"), (2, None), (3, "nothing")])
+        out = {r["doc_id"]: (r["redacted"], r["n_masked"]) for r in redact_pattern(ds, pattern=r"\b(key|value)\b").take_all()}
+        # \b excludes 'keys'
+        assert out[1] == ("[REDACTED] is a [REDACTED] of keys", 2)
+        assert out[2] == (None, None)
+        assert out[3] == ("nothing", 0)

@@ -84,18 +84,30 @@ def test_driver_window_ordering():
     assert outside == [
         k
         for k in (
-            "q54_decontaminate",
-            "q55_ann_lsh",
+            "q03_orders_priority",
+            "q04_status_priority",
+            "q05_segment_stats",
+            "q06_part_type_stats",
             "q13_minmax_suppliers",
+            "q17_doc_quality",
             "q22_recommend_source",
             "q30_distinct_pairs",
+            "q42_rolling_fingerprint",
         )
         if k in oracled
     ]
+    # Every demoted query's operator must be driver-covered by an in-window
+    # oracled twin; queries with a UNIQUE operator must sit inside the window.
     for must_have in (
         "q51_jaccard_pairs",
         "q52_embed_pairs",
         "q53_minhash_pairs",
+        "q54_decontaminate",
+        "q55_ann_lsh",
+        "q56_chunk_tokens",
+        "q57_pack_sequences",
+        "q58_top_bigram",
+        "q59_redact_terms",
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",

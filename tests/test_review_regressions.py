@@ -333,3 +333,40 @@ def test_anti_join_auto_empty_right():
     empty = ray.data.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
     out = anti_join_auto(left, empty, on="k", right_on="rk").take_all()
     assert sorted(r["k"] for r in out) == [1, 2]
+
+
+def test_q54_decontaminate_null_text_parity(tmp_path):
+    """q54 engine vs oracle on a corpus containing a null-text and a
+    too-short doc: null text must score 0 hits (the oracle's NULL-excluding
+    contains() join), not poison the vectorized hit counting."""
+    from ocr_endpoint_project_ray.pipelines.textops import Q54_ORACLE, q54_decontaminate
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 400)
+    texts = src.column("text").to_pylist()
+    texts[5] = None
+    texts[11] = "tiny"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": src.column("doc_id"),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    res = (
+        q54_decontaminate(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ora = con.execute(Q54_ORACLE).fetch_df().sort_values("doc_id").reset_index(drop=True)
+    assert res.equals(ora)
+    assert len(res) > 0
