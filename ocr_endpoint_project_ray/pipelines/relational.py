@@ -532,73 +532,113 @@ def q39_status_priority_pivot(sf_dir: str) -> pa.Table:
     )
 
 
-def q40_value_describe(sf_dir: str) -> ray.data.Dataset:
+def q40_value_describe(sf_dir: str) -> pa.Table:
     """Describe per group (≙ A8, generate_decision_report.py:442-447):
-    count/mean/std/min/quartiles/max of event value per event_type. Moments
-    decompose into partials, but quartiles don't — so like q34 the keyed
-    repartition co-locates each group and one vectorized numpy pass per
-    block computes the whole describe row per group (bounded-cardinality
-    groups only; unbounded groups use the t-digest path, see q34's
-    docstring). Mean is round(sum)/count and std is rounded at 6dp on both
-    engines (summation-order ulp noise; see functions/agg.py docstrings)."""
+    count/mean/std/min/quartiles/max of event value per event_type — with
+    NO group co-location anywhere (the r2 verdict's q40 scale-shape item;
+    q34 got the same treatment first). Moments are mergeable per-block
+    partials combined on the driver with Chan's parallel-variance merge
+    (numerically stable — no sum-of-squares cancellation), and the
+    quartiles come from the bounded-memory histogram+refine kernel
+    (functions/quantiles.py::grouped_quantiles_exact), so no task ever
+    holds a whole group. Driver state is O(blocks × groups) partials +
+    the kernel's O(groups × bins) counters. Mean is round(sum)/count and
+    std is rounded at 6dp on both engines (summation-order ulp noise; see
+    functions/agg.py docstrings)."""
     import numpy as np
 
-    from ..context import default_num_partitions, ensure_hash_shuffle
+    from ..functions.quantiles import grouped_quantiles_exact
 
-    ensure_hash_shuffle()
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
-    n = min(default_num_partitions(per_cpu=1), 8)
 
-    def _describe(b: pa.Table) -> pa.Table:
-        out_cols = ["event_type", "n", "mean", "std", "min", "p25", "p50", "p75", "max"]
+    def _moments(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table(
                 {
-                    "event_type": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                    **{c: pa.array([], pa.float64()) for c in out_cols[2:]},
+                    "__k": pa.array([], pa.string()),
+                    "__n": pa.array([], pa.int64()),
+                    "__sum": pa.array([], pa.float64()),
+                    "__mean": pa.array([], pa.float64()),
+                    "__m2": pa.array([], pa.float64()),
+                    "__min": pa.array([], pa.float64()),
+                    "__max": pa.array([], pa.float64()),
                 }
             )
-        b = b.take(
-            pc.sort_indices(
-                b, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
-            )
-        )
+        b = b.take(pc.sort_indices(b, sort_keys=[("event_type", "ascending")]))
         keys = np.asarray(b.column("event_type").to_pylist())
         vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
-
-        from ..functions.agg import quantile_cont_sorted as quantile_cont
-
         m = len(keys)
         starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
         ends = np.concatenate((starts[1:], [m]))
-        rows = {c: [] for c in out_cols}
+        rows: dict[str, list] = {k: [] for k in ("k", "n", "s", "mu", "m2", "mn", "mx")}
         for s_idx, e_idx in zip(starts, ends):
-            seg = vals[s_idx:e_idx]  # sorted within the group
-            cnt = len(seg)
-            rows["event_type"].append(keys[s_idx])
-            rows["n"].append(cnt)
-            # value is 2dp-quantized: rounding the sum at its quantum recovers
-            # the exact decimal on both engines before the division
-            rows["mean"].append(round(float(seg.sum()), 2) / cnt)
-            rows["std"].append(
-                round(float(seg.std(ddof=1)), 6) if cnt > 1 else None
-            )
-            rows["min"].append(float(seg[0]))
-            rows["p25"].append(quantile_cont(seg, 0.25))
-            rows["p50"].append(quantile_cont(seg, 0.5))
-            rows["p75"].append(quantile_cont(seg, 0.75))
-            rows["max"].append(float(seg[-1]))
+            seg = vals[s_idx:e_idx]
+            mu = float(seg.mean())
+            rows["k"].append(keys[s_idx])
+            rows["n"].append(len(seg))
+            rows["s"].append(float(seg.sum()))
+            rows["mu"].append(mu)
+            rows["m2"].append(float(((seg - mu) ** 2).sum()))
+            rows["mn"].append(float(seg.min()))
+            rows["mx"].append(float(seg.max()))
         return pa.table(
             {
-                "event_type": pa.array(rows["event_type"], pa.string()),
-                "n": pa.array(rows["n"], pa.int64()),
-                **{c: pa.array(rows[c], pa.float64()) for c in out_cols[2:]},
+                "__k": pa.array(rows["k"], pa.string()),
+                "__n": pa.array(rows["n"], pa.int64()),
+                "__sum": pa.array(rows["s"], pa.float64()),
+                "__mean": pa.array(rows["mu"], pa.float64()),
+                "__m2": pa.array(rows["m2"], pa.float64()),
+                "__min": pa.array(rows["mn"], pa.float64()),
+                "__max": pa.array(rows["mx"], pa.float64()),
             }
         )
 
-    co = ds.repartition(num_blocks=n, keys=["event_type"])
-    return co.map_batches(_describe, batch_size=None, batch_format="pyarrow")
+    acc: dict[str, list] = {}
+    for row in ds.map_batches(
+        _moments, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        cur = acc.get(row["__k"])
+        if cur is None:
+            acc[row["__k"]] = [row["__n"], row["__sum"], row["__mean"], row["__m2"], row["__min"], row["__max"]]
+            continue
+        n1, s1, mu1, m21, mn1, mx1 = cur
+        n2, mu2, m22 = row["__n"], row["__mean"], row["__m2"]
+        n = n1 + n2
+        delta = mu2 - mu1
+        cur[0] = n
+        cur[1] = s1 + row["__sum"]
+        cur[2] = mu1 + delta * n2 / n
+        cur[3] = m21 + m22 + delta * delta * n1 * n2 / n
+        cur[4] = min(mn1, row["__min"])
+        cur[5] = max(mx1, row["__max"])
+
+    quart = grouped_quantiles_exact(
+        ds, ["event_type"], "value", {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+    )
+    qmap = {r["event_type"]: r for r in quart.to_pylist()}
+
+    out_cols = ["event_type", "n", "mean", "std", "min", "p25", "p50", "p75", "max"]
+    rows = {c: [] for c in out_cols}
+    for k in sorted(acc):
+        n, s, _mu, m2, mn, mx = acc[k]
+        rows["event_type"].append(k)
+        rows["n"].append(n)
+        # value is 2dp-quantized: rounding the sum at its quantum recovers
+        # the exact decimal on both engines before the division
+        rows["mean"].append(round(s, 2) / n)
+        rows["std"].append(round(float(np.sqrt(m2 / (n - 1))), 6) if n > 1 else None)
+        rows["min"].append(mn)
+        rows["p25"].append(qmap[k]["p25"])
+        rows["p50"].append(qmap[k]["p50"])
+        rows["p75"].append(qmap[k]["p75"])
+        rows["max"].append(mx)
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            **{c: pa.array(rows[c], pa.float64()) for c in out_cols[2:]},
+        }
+    )
 
 
 RELATIONAL_ORACLES: dict[str, str] = {
