@@ -219,19 +219,22 @@ def main() -> None:
 
     import ray
 
-    def _bounded_shutdown() -> None:
+    def _bounded_shutdown(code: int) -> None:
         """ray.shutdown() after a 65-query sweep occasionally never returns
         (hundreds of datasets / dozens of actor pools in one session;
         observed three times, each with the JSON already printed). The
-        result line is flushed before this runs, so time-box the graceful
-        path and hard-exit — a hung teardown must not wedge the caller."""
+        result line (or the failure traceback) is flushed before this runs,
+        so time-box the graceful path and hard-exit with the bench's real
+        status — a hung teardown must not wedge the caller, and a failed
+        bench must not exit 0."""
         t = threading.Thread(target=ray.shutdown, daemon=True)
         t.start()
         t.join(timeout=60)
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        os._exit(code)
 
+    code = 0
     try:
         headline = run_headline(SF_DIR)
         qstat0 = _cpu_stat()
@@ -254,8 +257,13 @@ def main() -> None:
                 }
             )
         )
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+        code = 1
     finally:
-        _bounded_shutdown()
+        _bounded_shutdown(code)
 
 
 if __name__ == "__main__":

@@ -185,14 +185,21 @@ def anti_join_auto(
     nothing).
     """
     right_on = right_on or on
-    try:
-        # take_batch keeps native Arrow types (to_pandas would promote a
-        # nullable int64 key to float64 and silently break is_in matching)
-        probe = right_keys.limit(max_broadcast_rows + 1).take_batch(
-            max_broadcast_rows + 1, batch_format="pyarrow"
+    # iter_batches keeps native Arrow types (to_pandas would promote a
+    # nullable int64 key to float64 and silently break is_in matching) and
+    # yields nothing for an empty right side — no exception-based control
+    # flow, so a REAL right-pipeline failure propagates instead of being
+    # mistaken for "empty" (Ray re-raises task errors as subclasses of the
+    # original type, so catching ValueError here would turn a cast/schema
+    # bug into a silent unfiltered result).
+    batches = list(
+        right_keys.limit(max_broadcast_rows + 1).iter_batches(
+            batch_size=None, batch_format="pyarrow"
         )
-    except (StopIteration, ValueError):  # empty right side → nothing to remove
+    )
+    if not batches:  # empty right side → nothing to remove
         return left
+    probe = pa.concat_tables(batches)
     if probe.num_rows <= max_broadcast_rows:
         keys = pc.unique(pc.drop_null(probe.column(right_on)))
         keys_ref = ray.put(keys)

@@ -80,33 +80,39 @@ def _block_groups(batch: pa.Table, keys: list[str]) -> list[tuple]:
 
 
 def _stats_pass(ds: ray.data.Dataset, keys: list[str], value_col: str) -> dict[tuple, tuple]:
-    """Per-group (n_nonnull, min, max) via per-block partials + driver sum."""
+    """Per-group (n_nonnull, min, max) via per-block partials + driver sum.
+
+    Key values travel as REAL typed Arrow columns (one per key), not a
+    stringified tuple — a repr()/literal_eval round-trip crashes for any
+    key type whose repr is not a Python literal (timestamps, decimals,
+    numpy>=2 scalars). ``take_all`` hands back Python-native scalars, which
+    hash-compare equal to the pandas/numpy scalars ``_block_groups`` yields
+    inside the later passes (int/float/str/Timestamp all do)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         kv_rows, n_rows, mins, maxs = [], [], [], []
         for kv in _block_groups(batch, keys):
             v = _group_values(batch, keys, value_col, kv)
-            kv_rows.append(repr(kv))
+            kv_rows.append(kv)
             n_rows.append(len(v))
             mins.append(float(v.min()) if len(v) else np.inf)
             maxs.append(float(v.max()) if len(v) else -np.inf)
-        return pa.table(
-            {
-                "__kv": pa.array(kv_rows, pa.string()),
-                "__n": pa.array(n_rows, pa.int64()),
-                "__min": pa.array(mins, pa.float64()),
-                "__max": pa.array(maxs, pa.float64()),
-            }
-        )
-
-    import ast
+        cols: dict[str, pa.Array] = {
+            f"__k{i}": pa.array(
+                [kv[i] for kv in kv_rows], type=batch.schema.field(k).type
+            )
+            for i, k in enumerate(keys)
+        }
+        cols["__n"] = pa.array(n_rows, pa.int64())
+        cols["__min"] = pa.array(mins, pa.float64())
+        cols["__max"] = pa.array(maxs, pa.float64())
+        return pa.table(cols)
 
     stats: dict[tuple, list] = {}
     for row in ds.map_batches(
         _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).take_all():
-        # keys are scalar python values (str/int/float/None) — literal_eval safe
-        kv = ast.literal_eval(row["__kv"])
+        kv = tuple(row[f"__k{i}"] for i in range(len(keys)))
         cur = stats.setdefault(kv, [0, np.inf, -np.inf])
         cur[0] += row["__n"]
         cur[1] = min(cur[1], row["__min"])

@@ -324,15 +324,12 @@ class TDigest:
         return float(self.weights.sum())
 
     def serialize(self) -> bytes:
+        """Wire format: ``<iidd`` header (delta, n_centroids, vmin, vmax)
+        followed by n float64 means then n float64 weights."""
         import struct
 
-        head = struct.pack("<iiff", self.delta, len(self.means), 0, 0)
-        # min/max as float64 after the fixed head
-        import numpy as _np
-
         return (
-            head
-            + _np.array([self.vmin, self.vmax], _np.float64).tobytes()
+            struct.pack("<iidd", self.delta, len(self.means), self.vmin, self.vmax)
             + self.means.tobytes()
             + self.weights.tobytes()
         )
@@ -341,14 +338,12 @@ class TDigest:
     def deserialize(cls, data: bytes) -> "TDigest":
         import struct
 
-        delta, n, _, _ = struct.unpack_from("<iiff", data, 0)
-        off = struct.calcsize("<iiff")
-        mm = np.frombuffer(data, np.float64, count=2, offset=off)
-        off += 16
+        delta, n, vmin, vmax = struct.unpack_from("<iidd", data, 0)
+        off = struct.calcsize("<iidd")
         means = np.frombuffer(data, np.float64, count=n, offset=off).copy()
         off += 8 * n
         weights = np.frombuffer(data, np.float64, count=n, offset=off).copy()
-        return cls(delta, means, weights, float(mm[0]), float(mm[1]))
+        return cls(delta, means, weights, vmin, vmax)
 
 
 def approx_quantiles(

@@ -927,9 +927,12 @@ def _q50_oracle_sql() -> str:
             SELECT et.event_type, CAST(j.j AS INTEGER) AS idx
             FROM (SELECT DISTINCT event_type FROM events) et, unnest(range(16)) AS j(j)),
         full_regs AS (
+            -- NULL-safe group match: a NULL event_type group must find its
+            -- own registers (the engine groups with dropna=False), not fall
+            -- to all-zero via NULL != NULL
             SELECT g.event_type, COALESCE(r.reg, 0) AS reg
             FROM grid g LEFT JOIN regs r
-              ON g.event_type = r.event_type AND g.idx = r.idx),
+              ON g.event_type IS NOT DISTINCT FROM r.event_type AND g.idx = r.idx),
         snum AS (
             SELECT event_type,
                    sum(CAST(2305843009213693952 AS BIGINT) >> CAST(reg AS INTEGER)) AS s_num,
@@ -1038,23 +1041,34 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
 # ---------------------------------------------------------------------------
 
 
+#: q52's bucket-truncation bound — ONE constant shared by the engine call
+#: and the generated oracle's QUALIFY clause, so the guard itself is part
+#: of the oracled semantics (r3 review: the oracle previously enumerated
+#: ALL intra-bucket pairs and would diverge the day a bucket passed the
+#: engine's cap).
+_Q52_MAX_BUCKET = 256
+
+
 def q52_embed_pairs(sf_dir: str) -> ray.data.Dataset:
     """Embedding-similarity pairs through the REAL LSH path — bucket by
     hyperplane signs, exact float64 cosine within buckets, vec_a < vec_b
     (stages/ann.py::embedding_dupe_pairs). The similarity threshold (0.35)
     is tuned to the synthetic embeddings table, which has no true near-dups
     (max pairwise cosine ≈ 0.6): the point is oracling the operator, and a
-    0-row answer would prove nothing. The oracle reproduces bucketing AND
-    cosine in SQL from the engine's own plane constants, so the check
-    covers the approximation (pairs straddling a hyperplane are absent on
-    BOTH sides). Pairs-only output: cosine values agree only to summation-
-    order ulps across engines, but pair membership is stable (clearance
-    between every pair's cosine and the threshold is ≥1e-5 at every sf —
-    asserted in tests/test_ann.py)."""
+    0-row answer would prove nothing. The oracle reproduces bucketing,
+    cosine, AND the max_bucket truncation guard in SQL from the engine's
+    own constants, so the check covers the approximation exactly (pairs
+    straddling a hyperplane, and pairs dropped by a degenerate-bucket cap,
+    are absent on BOTH sides). Pairs-only output: cosine values agree only
+    to summation-order ulps across engines, but pair membership is stable
+    (clearance between every pair's cosine and the threshold is ≥1e-5 at
+    every sf — asserted in tests/test_ann.py)."""
     from ..stages.ann import embedding_dupe_pairs
 
     corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = embedding_dupe_pairs(corpus, threshold=0.35, dim=64, n_planes=6)
+    pairs = embedding_dupe_pairs(
+        corpus, threshold=0.35, dim=64, n_planes=6, max_bucket=_Q52_MAX_BUCKET
+    )
     return pairs.map_batches(
         lambda b: b.select(["vec_a", "vec_b"]),
         batch_size=None,
@@ -1070,7 +1084,10 @@ def _q52_oracle_sql() -> str:
     round-trip); embeddings CAST to DOUBLE[] so DuckDB's dots/cosines run
     in float64 like numpy's, keeping sign decisions and threshold
     comparisons inside the measured clearances (min |dot| ≈ 1e-7 vs
-    summation noise ≈ 1e-13)."""
+    summation noise ≈ 1e-13). The QUALIFY clause mirrors the engine's
+    degenerate-bucket guard: only the first ``_Q52_MAX_BUCKET`` members of
+    a bucket (by vec_id ascending — the engine's pre-truncation sort)
+    participate in pair emission."""
     from ..stages.ann import HyperplaneSigner
 
     planes = HyperplaneSigner(64, 6)._planes  # (dim, n_planes), seed-fixed
@@ -1087,9 +1104,13 @@ WITH e AS (
 ),
 b AS (
   SELECT vec_id, v, {bucket_expr} AS bucket FROM e
+),
+bk AS (
+  SELECT vec_id, v, bucket FROM b
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {_Q52_MAX_BUCKET}
 )
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE list_cosine_similarity(a.v, b2.v) >= 0.35
 """
 

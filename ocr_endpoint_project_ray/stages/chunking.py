@@ -168,6 +168,17 @@ def pack_sequences(
         # prefix-sum passes run on the sorted blocks.
         proj = proj.sort(id_col).materialize()
         blocks = sorted(_partials(proj), key=lambda r: r["__min"])
+        if any(a["__max"] >= b["__min"] for a, b in zip(blocks, blocks[1:])):
+            # Equal order-key values straddle a block boundary even after
+            # the range sort. Packing order among duplicate keys is
+            # ill-defined (the SQL twin's ORDER BY is equally ambiguous),
+            # and the min-id offset lookup below would collide — refuse
+            # loudly instead of packing wrong.
+            raise ValueError(
+                f"pack_sequences requires {id_col} values unique across "
+                "block boundaries; duplicates straddle blocks even after "
+                "range sorting"
+            )
 
     offsets: dict[int, int] = {}
     acc = 0

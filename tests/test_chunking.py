@@ -101,3 +101,23 @@ class TestRedact:
         assert out[1] == ("[REDACTED] is a [REDACTED] of keys", 2)
         assert out[2] == (None, None)
         assert out[3] == ("nothing", 0)
+
+
+def test_pack_sequences_duplicate_ids_pack_coherently_or_refuse():
+    """Duplicate order-key values spread across blocks trigger the sort
+    fallback. If the range sort consolidates the run into one block the
+    packing proceeds and must be coherent; if equal ids still straddle a
+    boundary the operator must raise (offset lookup would collide) — either
+    way, never a silent mis-packing."""
+    dup = _docs([(5, "a b"), (5, "c"), (5, "d e f"), (6, "g")]).repartition(3)
+    try:
+        rows = pack_sequences(dup, target_tokens=4).take_all()
+    except ValueError as e:
+        assert "unique" in str(e)
+        return
+    by_id6 = [r for r in rows if r["doc_id"] == 6]
+    # id 6 sorts after every id-5 row: its exclusive prefix is the full
+    # id-5 token mass (2+1+3=6) -> seq 6//4 = 1, regardless of tie order
+    assert [r["seq_id"] for r in by_id6] == [1]
+    assert sorted(r["n_tokens"] for r in rows) == [1, 1, 2, 3]
+    assert all(r["seq_id"] in (0, 1) for r in rows)

@@ -370,3 +370,76 @@ def test_q54_decontaminate_null_text_parity(tmp_path):
     ora = con.execute(Q54_ORACLE).fetch_df().sort_values("doc_id").reset_index(drop=True)
     assert res.equals(ora)
     assert len(res) > 0
+
+
+def test_q52_oracle_mirrors_bucket_truncation(tmp_path):
+    """A degenerate corpus where one LSH bucket exceeds max_bucket: the
+    oracle's QUALIFY clause must reproduce the engine's first-N-by-vec_id
+    truncation, or pair counts diverge the day any bucket passes the cap."""
+    from ocr_endpoint_project_ray.pipelines.textops import (
+        _Q52_MAX_BUCKET,
+        Q52_ORACLE,
+        q52_embed_pairs,
+    )
+
+    n = _Q52_MAX_BUCKET + 40  # all-identical vectors -> one bucket, truncated
+    vec = [1.0] + [0.0] * 63
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    res = q52_embed_pairs(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    ora = con.execute(Q52_ORACLE).fetch_df()
+    expect = _Q52_MAX_BUCKET * (_Q52_MAX_BUCKET - 1) // 2
+    assert len(res) == len(ora) == expect
+    canon = lambda d: sorted(map(tuple, d[["vec_a", "vec_b"]].itertuples(index=False)))
+    assert canon(res) == canon(ora)
+
+
+def test_grouped_quantiles_timestamp_key():
+    """Group keys that aren't Python literals (timestamps) must survive the
+    partial-transport round trip — the repr()/literal_eval transport
+    crashed on them."""
+    import datetime
+
+    from ocr_endpoint_project_ray.functions.quantiles import grouped_quantiles_exact
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 1, 2)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array([t1, t1, t1, t2, t2], pa.timestamp("us")),
+                "v": pa.array([1.0, 2.0, 3.0, 10.0, 20.0], pa.float64()),
+            }
+        )
+    ).repartition(2)
+    out = grouped_quantiles_exact(ds, ["day"], "v", {"p50": 0.5})
+    got = {r["day"]: r["p50"] for r in out.to_pylist()}
+    assert got == {t1: 2.0, t2: 15.0}
+
+
+def test_anti_join_auto_right_failure_propagates():
+    """A failing right-side pipeline must raise, not silently disable the
+    anti filter (the old empty-side except caught wrapped ValueErrors)."""
+    from ocr_endpoint_project_ray.functions.join import anti_join_auto
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+
+    def _boom(b: pa.Table) -> pa.Table:
+        raise ValueError("right side bug")
+
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1], pa.int64())})
+    ).map_batches(_boom, batch_size=None, batch_format="pyarrow")
+    with pytest.raises(Exception, match="right side bug"):
+        anti_join_auto(left, right, on="k", right_on="rk").take_all()
