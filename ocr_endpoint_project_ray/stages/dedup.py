@@ -825,7 +825,7 @@ def _shingle_md5_rows(
     )
 
 
-def _shingle_index_block(batch: pa.Table, *, max_df: int) -> pa.Table:
+def _shingle_index_block(batch: pa.Table, *, max_df: int, cand_ref=None) -> pa.Table:
     """Per block (post keyed repartition — every row of a shingle is here):
     drop stop-shingles (document frequency > ``max_df``), then emit union
     rows ``(a, b, cnt)``:
@@ -838,6 +838,13 @@ def _shingle_index_block(batch: pa.Table, *, max_df: int) -> pa.Table:
     - size rows ``(doc, -1, k)`` counting each doc's surviving shingles in
       this block (shingles are partitioned, so block-partials sum to the
       per-doc distinct-shingle count).
+
+    With ``cand_ref`` (a broadcast candidate-pair set, see
+    ``_get_cand_sets``), emission is restricted to candidate docs/pairs so
+    output is O(candidates), not O(df²) per shingle — the minhash verify
+    path. The ``max_df`` rule and the sentinel protocol are identical on
+    both paths by construction (ONE kernel — a semantic change here cannot
+    drift between the exact operator and its candidate-restricted twin).
     """
     empty = pa.table(
         {
@@ -846,8 +853,11 @@ def _shingle_index_block(batch: pa.Table, *, max_df: int) -> pa.Table:
             "cnt": pa.array([], pa.int64()),
         }
     )
-    if batch.num_rows == 0:
+    if batch.num_rows == 0 or "sh" not in batch.column_names:
         return empty
+    cand_pairs = cand_docs = None
+    if cand_ref is not None:
+        cand_pairs, cand_docs = _get_cand_sets(cand_ref)
     batch = batch.take(
         pc.sort_indices(batch, sort_keys=[("sh", "ascending"), ("doc", "ascending")])
     )
@@ -865,13 +875,17 @@ def _shingle_index_block(batch: pa.Table, *, max_df: int) -> pa.Table:
         if not k:
             continue
         run = doc[s:e]
-        for d in run:
-            size_acc[int(d)] = size_acc.get(int(d), 0) + 1
-        for x in range(len(run)):
-            for y in range(x + 1, len(run)):
-                a_out.append(int(run[x]))
-                b_out.append(int(run[y]))
-                c_out.append(1)
+        members = [
+            int(d) for d in run if cand_docs is None or int(d) in cand_docs
+        ]
+        for d in members:
+            size_acc[d] = size_acc.get(d, 0) + 1
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                if cand_pairs is None or (members[x], members[y]) in cand_pairs:
+                    a_out.append(members[x])
+                    b_out.append(members[y])
+                    c_out.append(1)
     for d, k in size_acc.items():
         a_out.append(d)
         b_out.append(-1)
@@ -885,6 +899,63 @@ def _shingle_index_block(batch: pa.Table, *, max_df: int) -> pa.Table:
             "cnt": pa.array(c_out, pa.int64()),
         }
     )
+
+
+def _mixed_only_pairs(b: pa.Table) -> pa.Table:
+    return b.filter(pc.greater_equal(b.column("b"), 0))
+
+
+def _mixed_only_sizes(b: pa.Table) -> pa.Table:
+    return b.filter(pc.equal(b.column("b"), -1)).select(["a", "n"])
+
+
+def _empty_pairs_out() -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _broadcast_jaccard_finalize(
+    agg: "ray.data.Dataset", *, threshold: float
+) -> "ray.data.Dataset":
+    """Broadcast finalize of the mixed pair/size aggregate (the ``b == -1``
+    sentinel rows carry per-doc stop-filtered set sizes): collect the
+    docs-sized size map once on the driver, then one vectorized pass per
+    block computes ``jaccard = n / (|A| + |B| - n)`` and applies the
+    threshold. Shared by ``jaccard_pairs_exact`` (broadcast mode) and
+    ``minhash_pairs_md5`` — the jaccard formula, threshold filter, and
+    sentinel protocol live HERE only."""
+    sizes_map: dict[int, int] = {
+        r["a"]: r["n"]
+        for r in agg.map_batches(
+            _mixed_only_sizes, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    }
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = _mixed_only_pairs(b)
+        if b.num_rows == 0:
+            return _empty_pairs_out()
+        a = np.asarray(b.column("a").combine_chunks(), dtype=np.int64)
+        bb = np.asarray(b.column("b").combine_chunks(), dtype=np.int64)
+        inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
+        na = np.fromiter((sizes_map[int(x)] for x in a), dtype=np.int64, count=len(a))
+        nb = np.fromiter((sizes_map[int(x)] for x in bb), dtype=np.int64, count=len(bb))
+        jac = inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(bb[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_size=None, batch_format="pyarrow")
 
 
 def jaccard_pairs_exact(
@@ -943,26 +1014,11 @@ def jaccard_pairs_exact(
         mixed, ["a", "b"], [Agg("n", "cnt", "sum")], num_partitions=n
     ).materialize()  # small by construction: candidate pairs + one row per doc
 
-    def _only_pairs(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b.column("b"), 0))
-
-    def _only_sizes(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b.column("b"), -1)).select(["a", "n"])
-
-    out_schema = {
-        "doc_a": pa.int64(),
-        "doc_b": pa.int64(),
-        "jaccard": pa.float64(),
-    }
-
-    def _empty_out() -> pa.Table:
-        return pa.table({k: pa.array([], t) for k, t in out_schema.items()})
-
     if sizes_join == "hash":
         from ..functions.join import hash_join
 
-        pairs = agg.map_batches(_only_pairs, batch_size=None, batch_format="pyarrow")
-        sizes = agg.map_batches(_only_sizes, batch_size=None, batch_format="pyarrow").map_batches(
+        pairs = agg.map_batches(_mixed_only_pairs, batch_size=None, batch_format="pyarrow")
+        sizes = agg.map_batches(_mixed_only_sizes, batch_size=None, batch_format="pyarrow").map_batches(
             lambda b: b.rename_columns(["doc", "sz"]), batch_size=None, batch_format="pyarrow"
         )
         j = hash_join(pairs, sizes, on="a", right_on="doc", num_partitions=n)
@@ -977,7 +1033,7 @@ def jaccard_pairs_exact(
 
         def _final_hash(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
-                return _empty_out()
+                return _empty_pairs_out()
             inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
             na = np.asarray(b.column("na").combine_chunks(), dtype=np.int64)
             nb = np.asarray(b.column("sz").combine_chunks(), dtype=np.int64)
@@ -993,32 +1049,7 @@ def jaccard_pairs_exact(
 
         return j.map_batches(_final_hash, batch_size=None, batch_format="pyarrow")
 
-    # broadcast path: collect the (docs-sized) size table once
-    sizes_map: dict[int, int] = {
-        r["a"]: r["n"]
-        for r in agg.map_batches(_only_sizes, batch_size=None, batch_format="pyarrow").take_all()
-    }
-
-    def _final(b: pa.Table) -> pa.Table:
-        b = _only_pairs(b)
-        if b.num_rows == 0:
-            return _empty_out()
-        a = np.asarray(b.column("a").combine_chunks(), dtype=np.int64)
-        bb = np.asarray(b.column("b").combine_chunks(), dtype=np.int64)
-        inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
-        na = np.fromiter((sizes_map[int(x)] for x in a), dtype=np.int64, count=len(a))
-        nb = np.fromiter((sizes_map[int(x)] for x in bb), dtype=np.int64, count=len(bb))
-        jac = inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(bb[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            }
-        )
-
-    return agg.map_batches(_final, batch_size=None, batch_format="pyarrow")
+    return _broadcast_jaccard_finalize(agg, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1151,66 +1182,6 @@ def _get_cand_sets(cand_ref) -> tuple[set, set]:
     return _CAND_CACHE[key]
 
 
-def _shingle_index_block_cand(
-    batch: pa.Table, *, max_df: int, cand_ref
-) -> pa.Table:
-    """``_shingle_index_block`` restricted to a broadcast candidate-pair set:
-    emits intersection rows only for candidate pairs and size sentinels only
-    for candidate docs, so output is O(candidates), not O(df²) per shingle.
-    The ``max_df`` stop-shingle rule applies identically (and is mirrored in
-    the SQL twin) — candidate pairs' Jaccard is computed over the
-    stop-filtered shingle sets, exactly as in ``jaccard_pairs_exact``."""
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "cnt": pa.array([], pa.int64()),
-        }
-    )
-    if batch.num_rows == 0 or "sh" not in batch.column_names:
-        return empty
-    cand_pairs, cand_docs = _get_cand_sets(cand_ref)
-    batch = batch.take(
-        pc.sort_indices(batch, sort_keys=[("sh", "ascending"), ("doc", "ascending")])
-    )
-    sh = np.asarray(batch.column("sh").combine_chunks())
-    doc = np.asarray(batch.column("doc").combine_chunks())
-    starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
-    ends = np.concatenate((starts[1:], [len(sh)]))
-    df = ends - starts
-    keep_runs = df <= max_df
-    a_out: list[int] = []
-    b_out: list[int] = []
-    c_out: list[int] = []
-    size_acc: dict[int, int] = {}
-    for s, e, k in zip(starts, ends, keep_runs):
-        if not k:
-            continue
-        run = doc[s:e]
-        members = [int(d) for d in run if int(d) in cand_docs]
-        for d in members:
-            size_acc[d] = size_acc.get(d, 0) + 1
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                if (members[x], members[y]) in cand_pairs:
-                    a_out.append(members[x])
-                    b_out.append(members[y])
-                    c_out.append(1)
-    for d, k in size_acc.items():
-        a_out.append(d)
-        b_out.append(-1)
-        c_out.append(k)
-    if not a_out:
-        return empty
-    return pa.table(
-        {
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "cnt": pa.array(c_out, pa.int64()),
-        }
-    )
-
-
 def minhash_pairs_md5(
     ds: ray.data.Dataset,
     *,
@@ -1302,7 +1273,7 @@ def minhash_pairs_md5(
         zero_copy_batch=True,
     )
     mixed = sh_rows.repartition(num_blocks=n, keys=["sh"]).map_batches(
-        _shingle_index_block_cand,
+        _shingle_index_block,
         batch_size=None,
         batch_format="pyarrow",
         fn_kwargs={"max_df": max_df, "cand_ref": cand_ref},
@@ -1310,38 +1281,4 @@ def minhash_pairs_md5(
     agg = grouped_agg(
         mixed, ["a", "b"], [Agg("n", "cnt", "sum")], num_partitions=n
     ).materialize()  # bounded: candidate pairs + one size row per candidate doc
-    sizes_map: dict[int, int] = {
-        r["a"]: r["n"]
-        for r in agg.map_batches(
-            lambda b: b.filter(pc.equal(b.column("b"), -1)).select(["a", "n"]),
-            batch_size=None,
-            batch_format="pyarrow",
-        ).take_all()
-    }
-
-    def _final(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater_equal(b.column("b"), 0))
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        a = np.asarray(b.column("a").combine_chunks(), dtype=np.int64)
-        bb = np.asarray(b.column("b").combine_chunks(), dtype=np.int64)
-        inter = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
-        na = np.fromiter((sizes_map[int(x)] for x in a), dtype=np.int64, count=len(a))
-        nb = np.fromiter((sizes_map[int(x)] for x in bb), dtype=np.int64, count=len(bb))
-        jac = inter.astype(np.float64) / (na + nb - inter).astype(np.float64)
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(bb[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            }
-        )
-
-    return agg.map_batches(_final, batch_size=None, batch_format="pyarrow")
+    return _broadcast_jaccard_finalize(agg, threshold=threshold)
