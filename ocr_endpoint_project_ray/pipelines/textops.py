@@ -1203,6 +1203,63 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
 
 
 # ---------------------------------------------------------------------------
+# q60: near-dup clustering, SQL-oracled end-to-end
+# ---------------------------------------------------------------------------
+
+
+def q60_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup CLUSTERING with a full SQL oracle: connected components
+    (size-dispatched driver union-find / distributed min-label propagation,
+    stages/dedup.py::dup_groups_auto) over the SQL-replayable MinHash+LSH
+    pair set (q53's minhash_pairs_md5). The oracle rebuilds the identical
+    pair set and closes it with a recursive-CTE reachability walk, so the
+    check certifies candidate generation, verification, AND the clustering
+    fixpoint — upgrading the capability x_minhash_groups covers rows-only
+    (its blake2b pair set is deliberately not SQL-replayable; this is the
+    auditable twin). Output: (doc_id, cluster = min doc_id in component),
+    docs appearing in at least one verified pair."""
+    from ..stages.dedup import dup_groups_auto, minhash_pairs_md5
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_pairs_md5(
+        ds, ngram=3, num_perm=16, bands=4, max_bucket=64, max_df=32, threshold=0.1
+    )
+    return dup_groups_auto(pairs)
+
+
+def _q60_oracle_sql() -> str:
+    """SQL twin of q60, BUILT FROM Q53_ORACLE's own text (the q45/q52
+    pattern — the pair set cannot drift from q53's): q53's CTE chain is
+    reused verbatim, its final SELECT becomes the ``pairs`` CTE, and a
+    recursive walk enumerates (node, reachable-label) pairs — UNION dedups,
+    so the closure terminates; min(label) per node is the component's min
+    doc_id, exactly ``dup_groups_from_pairs``'s labeling."""
+    ctes, final_select = Q53_ORACLE.rsplit("SELECT i.doc_a", 1)
+    return (
+        ctes.rstrip().replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + ",\npairs AS (\nSELECT i.doc_a"
+        + final_select.rstrip()
+        + "\n),\n"
+        + """nodes AS (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk AS (
+  SELECT d, d AS lbl FROM nodes
+  UNION
+  SELECT e.b AS d, w.lbl AS lbl FROM walk w JOIN edges e ON e.a = w.d
+)
+SELECT d AS doc_id, min(lbl) AS cluster FROM walk GROUP BY d
+"""
+    )
+
+
+Q60_ORACLE = _q60_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # q54: benchmark decontamination (cross-set substring containment)
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,7 @@ def test_driver_window_ordering():
             "q06_part_type_stats",
             "q13_minmax_suppliers",
             "q17_doc_quality",
+            "q18_lang_stats",
             "q22_recommend_source",
             "q30_distinct_pairs",
             "q42_rolling_fingerprint",
@@ -108,6 +109,7 @@ def test_driver_window_ordering():
         "q57_pack_sequences",
         "q58_top_bigram",
         "q59_redact_terms",
+        "q60_dup_groups",
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",
