@@ -1203,6 +1203,42 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.1
 
 
 # ---------------------------------------------------------------------------
+# q61: IVF ANN at full probe, SQL-oracled (exact-recovery certificate)
+# ---------------------------------------------------------------------------
+
+
+def q61_ann_ivf_fullprobe(sf_dir: str) -> ray.data.Dataset:
+    """IVF ANN (stages/ann.py::ann_topk_ivf — kmeans coarse quantizer,
+    centroid-routed scoring, per-query top-k merge) run at FULL probe
+    (n_probe = n_centroids), where IVF is exact by construction. The oracle
+    is q23's brute-force cosine ranking, so the driver certifies the whole
+    IVF machinery — deterministic centroid training, assignment, probe
+    routing, per-centroid matmul, distributed top-k merge — recovers the
+    exact answer. The approximation itself (n_probe < n_centroids) is
+    kmeans-dependent and not SQL-expressible; x_ann_ivf keeps that path as
+    a rows-only check, and the recall-vs-probe tradeoff is pytest-bounded
+    in tests/test_ann.py."""
+    from ..stages.ann import ann_topk_ivf
+
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = queries.filter(pc.less(queries.column("vec_id"), 8))
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _corpus_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("vec_id"), 8))
+
+    corpus = corpus.map_batches(
+        _corpus_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ann_topk_ivf(corpus, queries, k=5, n_centroids=16, n_probe=16)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "nn_rank"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q60: near-dup clustering, SQL-oracled end-to-end
 # ---------------------------------------------------------------------------
 

@@ -92,6 +92,7 @@ def test_driver_window_ordering():
             "q17_doc_quality",
             "q18_lang_stats",
             "q22_recommend_source",
+            "q29_hash_sample",
             "q30_distinct_pairs",
             "q42_rolling_fingerprint",
         )
@@ -110,6 +111,7 @@ def test_driver_window_ordering():
         "q58_top_bigram",
         "q59_redact_terms",
         "q60_dup_groups",
+        "q61_ann_ivf_fullprobe",
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",
