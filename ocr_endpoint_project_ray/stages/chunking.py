@@ -119,6 +119,12 @@ def pack_sequences(
     O(num_blocks) integers regardless of data size.
 
     Output: ``(id_col, n_tokens, seq_id)``; null text counts 0 tokens.
+
+    Deliberate exemption from the errors-are-data rule (CLAUDE.md): a
+    duplicate order key straddling block boundaries is a CONTRACT violation
+    of the whole operator (packing order — and the SQL twin's ORDER BY —
+    is ill-defined), not a bad row; an in-band error column would let a
+    silently mis-packed result flow downstream, so the stage raises.
     """
     proj = ds.map_batches(
         lambda b: pa.table(
