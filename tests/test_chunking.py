@@ -121,3 +121,57 @@ def test_pack_sequences_duplicate_ids_pack_coherently_or_refuse():
     assert [r["seq_id"] for r in by_id6] == [1]
     assert sorted(r["n_tokens"] for r in rows) == [1, 1, 2, 3]
     assert all(r["seq_id"] in (0, 1) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Property tests vs naive references — the property under test is the
+# DISTRIBUTED machinery (explode across batches, prefix sum across random
+# block splits), so the naive refs share the engine's TOKEN_RE tokenizer.
+# ---------------------------------------------------------------------------
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ocr_endpoint_project_ray.functions.text import TOKEN_RE
+
+_TOK = re.compile(TOKEN_RE)
+_texts = st.lists(
+    st.text(alphabet=" ab\t\n.", max_size=40), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_texts, st.integers(1, 6), st.integers(1, 8), st.integers(1, 4))
+def test_chunk_tokens_matches_naive(texts, stride, window, nblocks):
+    rows = list(enumerate(texts))
+    expect = sorted(
+        (i, c, " ".join(ws[s : s + window]), min(s + window, len(ws)) - s)
+        for i, t in rows
+        for ws in [_TOK.findall(t)]
+        for c, s in enumerate(range(0, len(ws), stride))
+    )
+    ds = _docs(rows).repartition(nblocks)
+    got = sorted(
+        (r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_tokens(ds, window=window, stride=stride).take_all()
+    )
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_texts, st.integers(1, 16), st.integers(1, 4))
+def test_pack_sequences_matches_naive(texts, target, nblocks):
+    rows = list(enumerate(texts))
+    acc, expect = 0, []
+    for i, t in rows:  # already in doc_id order
+        n = len(_TOK.findall(t))
+        expect.append((i, n, acc // target))
+        acc += n
+    ds = _docs(rows).repartition(nblocks)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["seq_id"])
+        for r in pack_sequences(ds, target_tokens=target).take_all()
+    )
+    assert got == sorted(expect)
