@@ -17,10 +17,7 @@ from typing import Any
 # Importing the package sets the hash-shuffle strategy before any Dataset is
 # created (required for keyed repartition — see ocr_endpoint_project_ray/context.py).
 import ocr_endpoint_project_ray  # noqa: F401
-from ocr_endpoint_project_ray.pipelines.extraction import (
-    extraction_flat,
-    extraction_pipeline,
-)
+from ocr_endpoint_project_ray.pipelines.extraction import extraction_flat
 from ocr_endpoint_project_ray.pipelines.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
