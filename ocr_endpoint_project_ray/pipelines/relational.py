@@ -532,85 +532,150 @@ def q39_status_priority_pivot(sf_dir: str) -> pa.Table:
     )
 
 
+_MOMENT_SCHEMA = pa.schema(
+    [
+        ("__k", pa.string()),
+        ("__n", pa.int64()),  # ALL rows in the group (SQL count(*))
+        ("__nv", pa.int64()),  # non-null values (stddev_samp denominator)
+        ("__sum", pa.float64()),
+        ("__mean", pa.float64()),
+        ("__m2", pa.float64()),
+        ("__min", pa.float64()),
+        ("__max", pa.float64()),
+    ]
+)
+
+
+def _moments_partial(b: pa.Table) -> pa.Table:
+    """Per-(block, event_type) moment partials. Null-safe both ways: a NULL
+    event_type is its own group (SQL GROUP BY semantics) and NULL values are
+    excluded from sum/mean/std/min/max but still counted in __n (count(*))."""
+    import numpy as np
+
+    if b.num_rows == 0:
+        return _MOMENT_SCHEMA.empty_table()
+    b = b.take(pc.sort_indices(b, sort_keys=[("event_type", "ascending")]))
+    keys = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+    vals_arr = b.column("value").combine_chunks()
+    vals = vals_arr.to_numpy(zero_copy_only=False)  # nulls -> NaN
+    valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(len(vals), bool)
+    m = len(keys)
+    starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
+    ends = np.concatenate((starts[1:], [m]))
+    rows: dict[str, list] = {k: [] for k in ("k", "n", "nv", "s", "mu", "m2", "mn", "mx")}
+    for s_idx, e_idx in zip(starts, ends):
+        seg = vals[s_idx:e_idx][valid[s_idx:e_idx]]
+        rows["k"].append(keys[s_idx])
+        rows["n"].append(int(e_idx - s_idx))
+        rows["nv"].append(len(seg))
+        if len(seg):
+            mu = float(seg.mean())
+            rows["s"].append(float(seg.sum()))
+            rows["mu"].append(mu)
+            rows["m2"].append(float(((seg - mu) ** 2).sum()))
+            rows["mn"].append(float(seg.min()))
+            rows["mx"].append(float(seg.max()))
+        else:  # null-only partial: neutral element for the Chan merge
+            rows["s"].append(0.0)
+            rows["mu"].append(0.0)
+            rows["m2"].append(0.0)
+            rows["mn"].append(None)
+            rows["mx"].append(None)
+    return pa.table(
+        {
+            "__k": pa.array(rows["k"], pa.string()),
+            "__n": pa.array(rows["n"], pa.int64()),
+            "__nv": pa.array(rows["nv"], pa.int64()),
+            "__sum": pa.array(rows["s"], pa.float64()),
+            "__mean": pa.array(rows["mu"], pa.float64()),
+            "__m2": pa.array(rows["m2"], pa.float64()),
+            "__min": pa.array(rows["mn"], pa.float64()),
+            "__max": pa.array(rows["mx"], pa.float64()),
+        }
+    )
+
+
+def _moments_merge(b: pa.Table) -> pa.Table:
+    """Chan-merge co-located partials into one row per key. Runs inside the
+    combine stage (per shuffled block), NOT on the driver — the r3 verdict's
+    optional-cleanup item 8. Merge order is canonicalised (sort by every
+    partial column) so the float result is independent of block arrival
+    order."""
+    if b.num_rows == 0:
+        return _MOMENT_SCHEMA.empty_table()
+    b = b.take(
+        pc.sort_indices(b, sort_keys=[(c, "ascending") for c in b.column_names])
+    )
+    out: dict[str, list] = {c: [] for c in _MOMENT_SCHEMA.names}
+
+    def _emit(k, st):
+        for c, v in zip(_MOMENT_SCHEMA.names, [k, *st]):
+            out[c].append(v)
+
+    cur_k: object = None
+    st: list | None = None  # [n, nv, sum, mean, m2, min, max]
+    for r in b.to_pylist():
+        k = r["__k"]
+        if st is None or not (k == cur_k or (k is None and cur_k is None)):
+            if st is not None:
+                _emit(cur_k, st)
+            cur_k = k
+            st = [r["__n"], r["__nv"], r["__sum"], r["__mean"], r["__m2"], r["__min"], r["__max"]]
+            continue
+        n1, nv1, s1, mu1, m21, mn1, mx1 = st
+        nv2, mu2, m22 = r["__nv"], r["__mean"], r["__m2"]
+        nv = nv1 + nv2
+        st[0] = n1 + r["__n"]
+        st[1] = nv
+        st[2] = s1 + r["__sum"]
+        if nv2:  # null-only partials are Chan-neutral
+            delta = mu2 - mu1
+            st[3] = mu1 + delta * nv2 / nv if nv1 else mu2
+            st[4] = m21 + m22 + (delta * delta * nv1 * nv2 / nv if nv1 else 0.0)
+        mins = [v for v in (mn1, r["__min"]) if v is not None]
+        maxs = [v for v in (mx1, r["__max"]) if v is not None]
+        st[5] = min(mins) if mins else None
+        st[6] = max(maxs) if maxs else None
+    if st is not None:
+        _emit(cur_k, st)
+    return pa.table({c: pa.array(out[c], _MOMENT_SCHEMA.field(c).type) for c in out})
+
+
 def q40_value_describe(sf_dir: str) -> pa.Table:
     """Describe per group (≙ A8, generate_decision_report.py:442-447):
     count/mean/std/min/quartiles/max of event value per event_type — with
     NO group co-location anywhere (the r2 verdict's q40 scale-shape item;
     q34 got the same treatment first). Moments are mergeable per-block
-    partials combined on the driver with Chan's parallel-variance merge
-    (numerically stable — no sum-of-squares cancellation), and the
-    quartiles come from the bounded-memory histogram+refine kernel
+    partials combined with Chan's parallel-variance merge (numerically
+    stable — no sum-of-squares cancellation) INSIDE the shuffle's combine
+    stage (one coalesced block of O(blocks × groups) partial rows — the
+    grouped_agg small_groups pattern), and the quartiles come from the
+    bounded-memory histogram+refine kernel
     (functions/quantiles.py::grouped_quantiles_exact), so no task ever
-    holds a whole group. Driver state is O(blocks × groups) partials +
-    the kernel's O(groups × bins) counters. Mean is round(sum)/count and
-    std is rounded at 6dp on both engines (summation-order ulp noise; see
-    functions/agg.py docstrings)."""
+    holds a whole group and the driver only assembles ≤#groups merged
+    rows. Mean is round(sum)/count and std is rounded at 6dp on both
+    engines (summation-order ulp noise; see functions/agg.py docstrings).
+    Null-safe: NULL event_type is its own (sortable) group, NULL values
+    count toward n but not the moments — mirroring the SQL oracle's
+    count(*) / stddev_samp(value) split."""
     import numpy as np
 
     from ..functions.quantiles import grouped_quantiles_exact
 
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
-    def _moments(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "__k": pa.array([], pa.string()),
-                    "__n": pa.array([], pa.int64()),
-                    "__sum": pa.array([], pa.float64()),
-                    "__mean": pa.array([], pa.float64()),
-                    "__m2": pa.array([], pa.float64()),
-                    "__min": pa.array([], pa.float64()),
-                    "__max": pa.array([], pa.float64()),
-                }
-            )
-        b = b.take(pc.sort_indices(b, sort_keys=[("event_type", "ascending")]))
-        keys = np.asarray(b.column("event_type").to_pylist())
-        vals = b.column("value").combine_chunks().to_numpy(zero_copy_only=False)
-        m = len(keys)
-        starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
-        ends = np.concatenate((starts[1:], [m]))
-        rows: dict[str, list] = {k: [] for k in ("k", "n", "s", "mu", "m2", "mn", "mx")}
-        for s_idx, e_idx in zip(starts, ends):
-            seg = vals[s_idx:e_idx]
-            mu = float(seg.mean())
-            rows["k"].append(keys[s_idx])
-            rows["n"].append(len(seg))
-            rows["s"].append(float(seg.sum()))
-            rows["mu"].append(mu)
-            rows["m2"].append(float(((seg - mu) ** 2).sum()))
-            rows["mn"].append(float(seg.min()))
-            rows["mx"].append(float(seg.max()))
-        return pa.table(
-            {
-                "__k": pa.array(rows["k"], pa.string()),
-                "__n": pa.array(rows["n"], pa.int64()),
-                "__sum": pa.array(rows["s"], pa.float64()),
-                "__mean": pa.array(rows["mu"], pa.float64()),
-                "__m2": pa.array(rows["m2"], pa.float64()),
-                "__min": pa.array(rows["mn"], pa.float64()),
-                "__max": pa.array(rows["mx"], pa.float64()),
-            }
+    # event_type cardinality is bounded-small (same contract as the quantile
+    # kernel below): coalesce the partials to one block, like
+    # grouped_agg(small_groups=True) — no aggregator-actor pool needed.
+    merged = (
+        ds.map_batches(
+            _moments_partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-
-    acc: dict[str, list] = {}
-    for row in ds.map_batches(
-        _moments, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():
-        cur = acc.get(row["__k"])
-        if cur is None:
-            acc[row["__k"]] = [row["__n"], row["__sum"], row["__mean"], row["__m2"], row["__min"], row["__max"]]
-            continue
-        n1, s1, mu1, m21, mn1, mx1 = cur
-        n2, mu2, m22 = row["__n"], row["__mean"], row["__m2"]
-        n = n1 + n2
-        delta = mu2 - mu1
-        cur[0] = n
-        cur[1] = s1 + row["__sum"]
-        cur[2] = mu1 + delta * n2 / n
-        cur[3] = m21 + m22 + delta * delta * n1 * n2 / n
-        cur[4] = min(mn1, row["__min"])
-        cur[5] = max(mx1, row["__max"])
+        .repartition(num_blocks=1)
+        .map_batches(
+            _moments_merge, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    ).take_all()  # ≤ #groups rows — bounded by the small-cardinality contract
 
     quart = grouped_quantiles_exact(
         ds, ["event_type"], "value", {"p25": 0.25, "p50": 0.5, "p75": 0.75}
@@ -619,19 +684,23 @@ def q40_value_describe(sf_dir: str) -> pa.Table:
 
     out_cols = ["event_type", "n", "mean", "std", "min", "p25", "p50", "p75", "max"]
     rows = {c: [] for c in out_cols}
-    for k in sorted(acc):
-        n, s, _mu, m2, mn, mx = acc[k]
+    for g in sorted(merged, key=lambda r: (r["__k"] is None, r["__k"])):
+        k, n, nv = g["__k"], g["__n"], g["__nv"]
         rows["event_type"].append(k)
         rows["n"].append(n)
         # value is 2dp-quantized: rounding the sum at its quantum recovers
-        # the exact decimal on both engines before the division
-        rows["mean"].append(round(s, 2) / n)
-        rows["std"].append(round(float(np.sqrt(m2 / (n - 1))), 6) if n > 1 else None)
-        rows["min"].append(mn)
-        rows["p25"].append(qmap[k]["p25"])
-        rows["p50"].append(qmap[k]["p50"])
-        rows["p75"].append(qmap[k]["p75"])
-        rows["max"].append(mx)
+        # the exact decimal on both engines before the division; the SQL
+        # oracle divides by count(*) (all rows), mirrored here
+        rows["mean"].append(round(g["__sum"], 2) / n if nv else None)
+        rows["std"].append(
+            round(float(np.sqrt(g["__m2"] / (nv - 1))), 6) if nv > 1 else None
+        )
+        rows["min"].append(g["__min"])
+        q = qmap.get(k, {})
+        rows["p25"].append(q.get("p25"))
+        rows["p50"].append(q.get("p50"))
+        rows["p75"].append(q.get("p75"))
+        rows["max"].append(g["__max"])
     return pa.table(
         {
             "event_type": pa.array(rows["event_type"], pa.string()),

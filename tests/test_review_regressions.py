@@ -443,3 +443,33 @@ def test_anti_join_auto_right_failure_propagates():
     ).map_batches(_boom, batch_size=None, batch_format="pyarrow")
     with pytest.raises(Exception, match="right side bug"):
         anti_join_auto(left, right, on="k", right_on="rk").take_all()
+
+
+def test_q40_describe_null_key_and_null_values(tmp_path):
+    """q40 engine vs oracle on events with a NULL event_type group and NULL
+    values (r3 ADVICE: the old driver merge crashed on sorted(None) and
+    NaN-poisoned the moments). SQL semantics: count(*) counts null-value
+    rows, mean = round(sum)/count(*), stddev over non-null only, NULL
+    event_type is its own group."""
+    from ocr_endpoint_project_ray.pipelines.relational import (
+        RELATIONAL_ORACLES,
+        q40_value_describe,
+    )
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", None, None, "b", "a", None], pa.string()),
+            "value": pa.array([1.0, None, 5.0, 7.0, None, 3.0, None], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    res = q40_value_describe(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = con.execute(RELATIONAL_ORACLES["q40_value_describe"]).fetch_df()
+    key = lambda df: df.sort_values(  # noqa: E731
+        "event_type", na_position="last"
+    ).reset_index(drop=True)[sorted(df.columns)]
+    pd.testing.assert_frame_equal(key(res), key(ora), check_dtype=False)
