@@ -315,6 +315,20 @@ def q25_user_sessions(sf_dir: str) -> ray.data.Dataset:
     return sessionize(ds)
 
 
+def q62_user_sessions_salted(sf_dir: str) -> ray.data.Dataset:
+    """q25's sessionization through the SKEW-SAFE salted path
+    (stages/windows.py::sessionize_salted — time-bucket phase 1, per-user
+    session merge phase 2). Answer-identical to :func:`q25_user_sessions`
+    by contract (parity property test with a 50%-skew user), so it shares
+    q25's oracle verbatim — this row driver-certifies a salted twin
+    end-to-end (r3 verdict item 6: the salted ops were parity-pytested but
+    no driver query ever ran them)."""
+    from ..stages.windows import sessionize_salted
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return sessionize_salted(ds)
+
+
 def q27_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     """Large×large distributed hash join (lineitem ⋈ orders on orderkey) +
     grouped aggregate — the fact-to-fact join path (Dataset.join)."""
@@ -878,6 +892,10 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
 }
 
+# q62 = q25 through the salted path; answer-identical by contract, so the
+# oracle is q25's SQL verbatim (the check certifies that identity).
+RELATIONAL_ORACLES["q62_user_sessions_salted"] = RELATIONAL_ORACLES["q25_user_sessions"]
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_filter": q02_revenue_filter,
@@ -903,4 +921,5 @@ RELATIONAL_QUERIES = {
     "q40_value_describe": q40_value_describe,
     "q48_rolling_window": q48_rolling_window,
     "q28_purchase_last_view": q28_purchase_last_view,
+    "q62_user_sessions_salted": q62_user_sessions_salted,
 }

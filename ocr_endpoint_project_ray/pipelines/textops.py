@@ -1300,6 +1300,33 @@ Q60_ORACLE = _q60_oracle_sql()
 # ---------------------------------------------------------------------------
 
 
+def _bench_phrases(docs: ray.data.Dataset) -> list[str]:
+    """The deterministic benchmark phrase set shared by q54 and q63: words
+    4..8 (0-based [3:8]) of every doc with doc_id%100==7, doc_id<1000 — a
+    bounded ≤10-phrase set at every sf, rebuildable by the SQL oracles."""
+
+    def _phrases(b: pa.Table) -> pa.Table:
+        import re
+
+        from ..functions.text import TOKEN_RE
+
+        tok = re.compile(TOKEN_RE)
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 100 != 7 or i >= 1000:
+                continue
+            ws = tok.findall(t or "")
+            if len(ws) >= 8:
+                out.append(" ".join(ws[3:8]))
+        return pa.table({"phrase": pa.array(out, pa.string())})
+
+    return sorted(
+        {r["phrase"] for r in docs.map_batches(_phrases, batch_size=None, batch_format="pyarrow").take_all()}
+    )
+
+
 def q54_decontaminate(sf_dir: str) -> ray.data.Dataset:
     """Benchmark decontamination: flag every document whose text contains a
     phrase from the benchmark set, reporting how many phrases hit.
@@ -1320,29 +1347,12 @@ def q54_decontaminate(sf_dir: str) -> ray.data.Dataset:
 
     Reference analogue: none — training-data extension (the dedup family's
     cross-set counterpart: containment against a fixed benchmark, not
-    pairwise similarity)."""
+    pairwise similarity). At benchmark-suite scale (10⁵–10⁶ phrases) the
+    per-phrase column scans here are the wrong shape — use
+    :func:`decontaminate_hashed` (q63), which replaces them with one hashed
+    n-gram membership pass."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _phrases(b: pa.Table) -> pa.Table:
-        import re
-
-        from ..functions.text import TOKEN_RE
-
-        tok = re.compile(TOKEN_RE)
-        ids = b.column("doc_id").to_pylist()
-        texts = b.column("text").to_pylist()
-        out = []
-        for i, t in zip(ids, texts):
-            if i % 100 != 7 or i >= 1000:
-                continue
-            ws = tok.findall(t or "")
-            if len(ws) >= 8:
-                out.append(" ".join(ws[3:8]))
-        return pa.table({"phrase": pa.array(out, pa.string())})
-
-    phrases = sorted(
-        {r["phrase"] for r in docs.map_batches(_phrases, batch_size=None, batch_format="pyarrow").take_all()}
-    )
+    phrases = _bench_phrases(docs)
 
     def _flag(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -1384,6 +1394,303 @@ bench AS (
 SELECT d.doc_id, count(*) AS n_hits
 FROM documents d JOIN bench b ON contains(d.text, b.phrase)
 GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q63: hashed decontamination (the scale path of q54)
+# ---------------------------------------------------------------------------
+
+
+def _hash_phrases_by_len(phrases: list[str]) -> dict[int, "np.ndarray"]:
+    """Canonicalize each phrase to its TOKEN_RE tokens and md5-hash the
+    space-joined form, grouped by token count L. Empty/whitespace-only
+    phrases are dropped (they can't be a token n-gram of anything)."""
+    import re
+
+    import numpy as np
+
+    from ..functions.text import TOKEN_RE
+    from ..stages.dedup import _md5_hash64
+
+    tok = re.compile(TOKEN_RE)
+    by_len: dict[int, set[int]] = {}
+    for p in phrases:
+        ws = tok.findall(p or "")
+        if ws:
+            by_len.setdefault(len(ws), set()).add(_md5_hash64(" ".join(ws)))
+    return {
+        L: np.sort(np.fromiter(s, dtype=np.uint64, count=len(s)))
+        for L, s in by_len.items()
+    }
+
+
+def _decontaminate_broadcast(
+    docs: ray.data.Dataset, phrases: list[str], *, id_col: str, text_col: str
+) -> ray.data.Dataset:
+    import numpy as np
+
+    sets_ref = ray.put(_hash_phrases_by_len(phrases))
+
+    def _count(batch: pa.Table) -> pa.Table:
+        import re
+
+        from ..functions.text import TOKEN_RE
+        from ..stages.dedup import _md5_hash64
+
+        by_len: dict[int, np.ndarray] = ray.get(sets_ref)  # zero-copy plasma read
+        tokre = re.compile(TOKEN_RE)
+        texts = batch.column(text_col).to_pylist()
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        cache: dict[str, int] = {}  # per-batch shingle-hash cache (docs repeat n-grams)
+        for row, t in enumerate(texts):
+            ws = tokre.findall(t or "")
+            n = 0
+            for L, ph in by_len.items():
+                if len(ws) < L:
+                    continue
+                seen: set[int] = set()
+                for j in range(len(ws) - L + 1):
+                    s = " ".join(ws[j : j + L])
+                    h = cache.get(s)
+                    if h is None:
+                        h = _md5_hash64(s)
+                        cache[s] = h
+                    seen.add(h)
+                arr = np.fromiter(seen, dtype=np.uint64, count=len(seen))
+                # membership against the sorted phrase-hash array
+                idx = np.searchsorted(ph, arr)
+                in_range = idx < len(ph)
+                n += int(np.count_nonzero(ph[np.minimum(idx, len(ph) - 1)][in_range] == arr[in_range]))
+            hits[row] = n
+        keep = pa.array(hits > 0)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).filter(keep),
+                "n_hits": pa.array(hits[hits > 0], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        _count, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _phrase_mark_rows(b: pa.Table, *, L: int) -> pa.Table:
+    """Phrase side of the distributed membership: one ``(sh, doc=-1)``
+    sentinel row per phrase of token-length ``L`` (the
+    ``_shingle_index_block`` sentinel convention — doc ids are asserted
+    non-negative int64 by ``_shingle_md5_rows``)."""
+    import re
+
+    import numpy as np
+
+    from ..functions.text import TOKEN_RE
+    from ..stages.dedup import _md5_hash64
+
+    tok = re.compile(TOKEN_RE)
+    hs = []
+    for p in b.column("phrase").to_pylist():
+        ws = tok.findall(p or "")
+        if len(ws) == L:
+            hs.append(int(np.uint64(_md5_hash64(" ".join(ws))).astype(np.int64)))
+    return pa.table(
+        {"sh": pa.array(hs, pa.int64()), "doc": pa.array([-1] * len(hs), pa.int64())}
+    )
+
+
+def _mark_hits_block(b: pa.Table) -> pa.Table:
+    """Per block (post keyed repartition on ``sh`` — every row of a hash is
+    here): emit one ``(doc,)`` row per doc sharing a hash with a phrase
+    sentinel. Doc-side rows are distinct ``(sh, doc)`` by construction and
+    the sentinel (-1) sorts first in its run, so duplicate phrase rows
+    dedupe for free. Fully vectorized run detection (the
+    ``_bucket_pairs_dropover`` numpy pattern)."""
+    import numpy as np
+
+    if b.num_rows == 0:
+        return pa.table({"doc": pa.array([], pa.int64())})
+    b = b.take(pc.sort_indices(b, sort_keys=[("sh", "ascending"), ("doc", "ascending")]))
+    sh = np.asarray(b.column("sh").combine_chunks())
+    doc = np.asarray(b.column("doc").combine_chunks())
+    starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+    run_id = np.cumsum(np.concatenate(([0], (sh[1:] != sh[:-1]).astype(np.int64))))
+    has_phrase = doc[starts] == -1
+    keep = has_phrase[run_id] & (doc != -1)
+    return pa.table({"doc": pa.array(doc[keep], pa.int64())})
+
+
+def _decontaminate_distributed(
+    docs: ray.data.Dataset,
+    phrases: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    num_partitions: int | None,
+) -> ray.data.Dataset:
+    from ..context import default_keyed_partitions
+    from ..stages.dedup import _shingle_md5_rows
+
+    def _phrase_len_rows(b: pa.Table) -> pa.Table:
+        import re
+
+        from ..functions.text import TOKEN_RE
+
+        tok = re.compile(TOKEN_RE)
+        ls = [len(tok.findall(p or "")) for p in b.column("phrase").to_pylist()]
+        return pa.table({"L": pa.array([x for x in ls if x > 0], pa.int64())})
+
+    n = num_partitions or default_keyed_partitions()
+    # phrase sets are n-grams of a handful of distinct lengths (an eval
+    # suite has fixed-shape prompts) — enumerate them with a tiny unique
+    lengths = sorted(
+        phrases.map_batches(_phrase_len_rows, batch_size=None, batch_format="pyarrow").unique("L")
+    )
+    per_len = []
+    for L in lengths:
+        doc_sh = docs.map_batches(
+            _shingle_md5_rows,
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"text_col": text_col, "id_col": id_col, "ngram": int(L)},
+        )
+        marks = phrases.map_batches(
+            _phrase_mark_rows, batch_size=None, batch_format="pyarrow", fn_kwargs={"L": int(L)}
+        )
+        # ONE keyed shuffle co-locates every row of a hash; membership is a
+        # vectorized sentinel-run scan (the q51 inverted-index pattern) —
+        # no Dataset.join, and duplicate phrase rows dedupe in-block
+        hits = (
+            doc_sh.union(marks)
+            .repartition(num_blocks=n, keys=["sh"])
+            .map_batches(_mark_hits_block, batch_size=None, batch_format="pyarrow")
+        )
+        per_len.append(hits)
+    combined = per_len[0]
+    for extra in per_len[1:]:
+        combined = combined.union(extra)
+    out = grouped_agg(
+        combined,
+        ["doc"],
+        [Agg(out="n_hits", col=None, kind="count_rows")],
+        num_partitions=num_partitions,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "n_hits"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+def decontaminate_hashed(
+    docs: ray.data.Dataset,
+    phrases: list[str] | ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_phrases: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Benchmark decontamination at eval-suite scale — the hashed twin of
+    :func:`q54_decontaminate`'s substring scan (r3 verdict "What's wrong
+    #2": per-phrase ``match_substring`` passes are O(|phrases|) column
+    scans per batch; MMLU/GSM8K-scale suites have 10⁵–10⁶ phrases).
+
+    Semantics: a phrase is canonicalized to its TOKEN_RE token sequence;
+    ``n_hits`` counts the DISTINCT phrases (by md5-64 of the space-joined
+    tokens) appearing as a whole-token n-gram of the document. Identical to
+    the substring scan whenever phrases are whole-token n-grams whose text
+    occurrences fall on token boundaries (parity-pytested on the q54
+    benchmark set); hash collisions are mirrored in the SQL oracle, not a
+    parity risk (the q51 argument).
+
+    Size-dispatched like ``anti_join_auto``:
+
+    - ≤ ``max_broadcast_phrases``: the per-length sorted hash arrays ship
+      once via ``ray.put`` (~16 MB per 2M phrases) and each batch does ONE
+      tokenize + hash pass with vectorized searchsorted membership — no
+      shuffle, cost independent of |phrases|;
+    - above: per distinct phrase length, hashed doc n-gram rows
+      (``_shingle_md5_rows``) union phrase sentinel rows and co-locate by
+      hash in ONE keyed shuffle; membership is a vectorized sentinel-run
+      scan per block (the q51 inverted-index pattern — no join operator),
+      then a combiner-backed grouped count. Bounded per-partition memory
+      at any scale; duplicate phrase rows dedupe in-block.
+
+    Docs with 0 hits are omitted (same contract as q54). Reference
+    analogue: none — training-data extension."""
+    if isinstance(phrases, ray.data.Dataset):
+        batches = list(
+            phrases.limit(max_broadcast_phrases + 1).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        probe = pa.concat_tables(batches) if batches else None
+        if probe is None:
+            # empty phrase set → nothing is contaminated
+            return docs.map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b.column(id_col).slice(0, 0),
+                        "n_hits": pa.array([], pa.int64()),
+                    }
+                ),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+        if probe.num_rows <= max_broadcast_phrases:
+            plist = [p for p in probe.column("phrase").to_pylist() if p]
+            return _decontaminate_broadcast(docs, plist, id_col=id_col, text_col=text_col)
+        return _decontaminate_distributed(
+            docs, phrases, id_col=id_col, text_col=text_col, num_partitions=num_partitions
+        )
+    if len(phrases) <= max_broadcast_phrases:
+        return _decontaminate_broadcast(docs, list(phrases), id_col=id_col, text_col=text_col)
+    return _decontaminate_distributed(
+        docs,
+        ray.data.from_arrow(pa.table({"phrase": pa.array(list(phrases), pa.string())})),
+        id_col=id_col,
+        text_col=text_col,
+        num_partitions=num_partitions,
+    )
+
+
+def q63_decontaminate_hashed(sf_dir: str) -> ray.data.Dataset:
+    """q54's benchmark decontamination through the SCALE path: hashed
+    whole-token n-gram membership instead of per-phrase substring scans
+    (r3 verdict item 3). Same deterministic benchmark set; the oracle
+    replays the md5 n-gram join exactly, so the hashed semantics (not the
+    substring semantics) are what's certified."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontaminate_hashed(docs, _bench_phrases(docs))
+
+
+#: SQL twin of q63 — the benchmark set rebuilt from the q54 rule, then both
+#: sides md5-hashed exactly as the engine does: phrase hash = md5-64 of the
+#: space-joined tokens; doc side = DISTINCT md5-64 over every whole-token
+#: 5-gram (the bench phrases are 5 tokens, ts[4:8] inclusive = 5). The join
+#: IS the membership test, so collisions are mirrored (q51 argument).
+Q63_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(array_to_string(ts[4:8], ' ')), 1, 16))::UBIGINT AS ph
+  FROM tok
+  WHERE doc_id % 100 = 7 AND doc_id < 1000 AND len(ts) >= 8
+),
+gr AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                             || ts[i+3] || ' ' || ts[i+4]), 1, 16))::UBIGINT AS g
+  FROM tok, unnest(range(1, len(ts) - 3)) AS t(i)
+)
+SELECT doc_id, count(*) AS n_hits
+FROM gr JOIN bench ON g = ph
+GROUP BY doc_id
 """
 
 

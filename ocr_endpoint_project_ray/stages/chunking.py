@@ -194,9 +194,12 @@ def pack_sequences(
 
     def _assign(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
+            # build the empty block from the INCOMING schema (a hardcoded
+            # int64 would emit a schema-mismatched block for int32/string
+            # order keys and fail at union time — r3 ADVICE)
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], b.schema.field(id_col).type),
                     "n_tokens": pa.array([], pa.int64()),
                     "seq_id": pa.array([], pa.int64()),
                 }

@@ -792,7 +792,14 @@ def _shingle_md5_rows(
     and therefore any hash collision — bit-for-bit; collisions are then a
     (negligible, mirrored) semantic of the operator, not a parity risk.
     Docs shorter than ``ngram`` tokens emit nothing (no shingle set — the
-    SQL twin's ``range`` lateral is empty for them too)."""
+    SQL twin's ``range`` lateral is empty for them too).
+
+    Doc ids must be NON-NEGATIVE INTEGERS: downstream blocks
+    (``_shingle_index_block``, ``_mark_hits_block``) use ``doc = -1`` as a
+    sentinel, so a negative or non-integer id corpus would silently collide
+    with the protocol — refuse loudly instead (contract violation, not a
+    data error; same exemption class as ``pack_sequences``' ambiguity
+    raise)."""
     global _SIMHASH_TOKEN_RE
     if _SIMHASH_TOKEN_RE is None:
         import re
@@ -800,6 +807,19 @@ def _shingle_md5_rows(
         from ..functions.text import TOKEN_RE
 
         _SIMHASH_TOKEN_RE = re.compile(TOKEN_RE)
+    id_type = batch.schema.field(id_col).type
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"shingle ops require integer doc ids ({id_col!r} is {id_type}): "
+            "the inverted-index sentinel protocol reserves doc=-1"
+        )
+    if batch.num_rows and pc.min(batch.column(id_col)).as_py() is not None and (
+        pc.min(batch.column(id_col)).as_py() < 0
+    ):
+        raise ValueError(
+            f"shingle ops require non-negative doc ids ({id_col!r} has negatives): "
+            "doc=-1 is the inverted-index sentinel"
+        )
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     out_sh: list[int] = []
@@ -1091,6 +1111,21 @@ def _md5_sig_rows(
         from ..functions.text import TOKEN_RE
 
         _SIMHASH_TOKEN_RE = re.compile(TOKEN_RE)
+    # same id contract as _shingle_md5_rows: the pair pipeline's dup-pair
+    # sentinel rows use b=-1, so ids must be non-negative integers
+    id_type = batch.schema.field(id_col).type
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"minhash ops require integer doc ids ({id_col!r} is {id_type}): "
+            "the pair-pipeline sentinel protocol reserves -1"
+        )
+    if batch.num_rows and pc.min(batch.column(id_col)).as_py() is not None and (
+        pc.min(batch.column(id_col)).as_py() < 0
+    ):
+        raise ValueError(
+            f"minhash ops require non-negative doc ids ({id_col!r} has negatives): "
+            "-1 is the pair-pipeline sentinel"
+        )
     rows = num_perm // bands
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
