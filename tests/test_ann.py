@@ -62,6 +62,31 @@ def test_ivf_recall_reasonable_and_exact_at_full_probe():
     assert hits >= len(exact) // 2
 
 
+def test_ivf_centroids_storage_order_invariant():
+    """The quantizer trains on an md5-hash-order sample, so a CLUSTERED
+    corpus (sorted so similar rows are adjacent — the storage-order bias of
+    every time/source-partitioned real corpus) and its shuffled permutation
+    must yield bit-identical centroids (r3 verdict: corpus.limit() trained
+    on the first blocks and silently degraded recall on clustered input)."""
+    from ocr_endpoint_project_ray.stages.ann import train_ivf_centroids
+
+    queries, corpus = _make(n=600)
+    # clustered layout: sort by first embedding coordinate
+    first = [r[0] for r in corpus.column("embedding").to_pylist()]
+    order = np.argsort(first)
+    clustered = corpus.take(pa.array(order, pa.int64()))
+    rng = np.random.default_rng(9)
+    shuffled = corpus.take(pa.array(rng.permutation(len(corpus)), pa.int64()))
+
+    c1 = train_ivf_centroids(
+        ray.data.from_arrow(clustered).repartition(6), n_centroids=8, sample_rows=128
+    )
+    c2 = train_ivf_centroids(
+        ray.data.from_arrow(shuffled).repartition(6), n_centroids=8, sample_rows=128
+    )
+    assert np.array_equal(c1, c2)
+
+
 def test_lsh_returns_subset_of_corpus():
     queries, corpus = _make(n=150)
     rows = ann_topk_lsh(

@@ -254,3 +254,36 @@ class TestMinhashPairsMd5:
         ds = ray.data.from_arrow(_corpus())
         with pytest.raises(ValueError, match="divisible"):
             minhash_pairs_md5(ds, num_perm=16, bands=5)
+
+
+def test_bucket_pairs_kernel_matches_naive_reference():
+    """_bucket_pairs (numpy run boundaries, r3 verdict item 5) vs a naive
+    per-key Python reference, including over-full truncated buckets and
+    cross-run doc-id ordering."""
+    from ocr_endpoint_project_ray.stages.dedup import _bucket_pairs
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 60, size=400)
+    ids = rng.permutation(400).astype(np.int64)
+    batch = pa.table(
+        {
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }
+    )
+    max_bucket = 8
+    got = _bucket_pairs(batch, max_bucket=max_bucket).to_pylist()
+
+    expected = []
+    for k in sorted(set(keys.tolist())):
+        bucket = sorted(ids[keys == k].tolist())
+        truncated = len(bucket) > max_bucket
+        bucket = bucket[:max_bucket]
+        for x in range(len(bucket)):
+            for y in range(x + 1, len(bucket)):
+                expected.append(
+                    {"doc_a": bucket[x], "doc_b": bucket[y], "truncated": truncated}
+                )
+    assert got == expected
+    assert any(r["truncated"] for r in got)  # the scenario exercises truncation
+    assert any(not r["truncated"] for r in got)
