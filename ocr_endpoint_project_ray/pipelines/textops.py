@@ -1666,6 +1666,21 @@ def q63_decontaminate_hashed(sf_dir: str) -> ray.data.Dataset:
     return decontaminate_hashed(docs, _bench_phrases(docs))
 
 
+def q64_decontaminate_distributed(sf_dir: str) -> ray.data.Dataset:
+    """q63 through the DISTRIBUTED path (``max_broadcast_phrases=0``):
+    hashed doc n-grams union phrase sentinel rows into ONE keyed shuffle, a
+    vectorized sentinel-run membership scan per block, then a
+    combiner-backed grouped count. Answer-identical to q63 by contract
+    (path-parity pytest), so it shares q63's oracle verbatim — this row
+    driver-certifies the above-threshold dispatch branch end-to-end (the
+    q62 pattern: size/skew-dispatched twins each get their own driver
+    row)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontaminate_hashed(
+        docs, _bench_phrases(docs), max_broadcast_phrases=0, num_partitions=8
+    )
+
+
 #: SQL twin of q63 — the benchmark set rebuilt from the q54 rule, then both
 #: sides md5-hashed exactly as the engine does: phrase hash = md5-64 of the
 #: space-joined tokens; doc side = DISTINCT md5-64 over every whole-token
