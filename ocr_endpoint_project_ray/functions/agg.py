@@ -191,4 +191,9 @@ def quantile_cont_sorted(sorted_seg, q: float) -> float:
     lo = int(np.floor(h))
     frac = h - lo
     hi = min(lo + 1, len(sorted_seg) - 1)
+    if frac == 0:
+        # identical to the interpolation for finite neighbors (0*finite=0),
+        # but keeps an integer-index quantile finite when the upper
+        # neighbor is the NaN tail (0*NaN would poison it)
+        return float(sorted_seg[lo])
     return float((1 - frac) * sorted_seg[lo] + frac * sorted_seg[hi])

@@ -34,7 +34,12 @@ so the 2–4 total passes re-scan object-store blocks instead of re-reading
 parquet; group CARDINALITY must be driver-bounded (the control state is per
 group × quantile) while group SIZE is unbounded — the complement of
 ``functions.sketch.approx_quantiles``, which handles unbounded cardinality
-approximately. Nulls are ignored per SQL semantics; null-only groups yield
+approximately. Nulls are ignored per SQL semantics; genuine float NaN is a
+VALUE that sorts greatest (Arrow/DuckDB float ordering): ranks falling in
+the NaN tail resolve to NaN by rank arithmetic without ever binning a NaN
+(DuckDB's own quantile_cont NaN results are irregular — e.g. q=2/3 over
+[1,2,3,NaN] returns NaN though rank 2 is finite — so exact NaN parity is a
+non-goal; parity stays bit-exact on NaN-free data). Null-only groups yield
 NULL (the engine's events data carries no NaNs).
 
 Reference analogue: the describe/percentile reporting in
@@ -64,8 +69,12 @@ def _group_mask(batch: pa.Table, keys: list[str], kv: tuple) -> pa.ChunkedArray:
 
 
 def _group_values(batch: pa.Table, keys: list[str], value_col: str, kv: tuple) -> np.ndarray:
+    """FINITE values of a group: nulls dropped (SQL) and NaN dropped — NaN
+    sorts GREATEST (Arrow/DuckDB float ordering), so the NaN tail is handled
+    by rank arithmetic (ranks ≥ n_finite resolve to NaN), never binned."""
     vals = batch.column(value_col).filter(_group_mask(batch, keys, kv))
-    return np.asarray(vals.drop_null())
+    v = np.asarray(vals.drop_null())
+    return v[~np.isnan(v)] if v.dtype.kind == "f" else v
 
 
 def _block_groups(batch: pa.Table, keys: list[str]) -> list[tuple]:
@@ -90,11 +99,14 @@ def _stats_pass(ds: ray.data.Dataset, keys: list[str], value_col: str) -> dict[t
     inside the later passes (int/float/str/Timestamp all do)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        kv_rows, n_rows, mins, maxs = [], [], [], []
+        kv_rows, n_rows, nan_rows, mins, maxs = [], [], [], [], []
         for kv in _block_groups(batch, keys):
-            v = _group_values(batch, keys, value_col, kv)
+            mask = _group_mask(batch, keys, kv)
+            nonnull = batch.column(value_col).filter(mask).drop_null()
+            v = _group_values(batch, keys, value_col, kv)  # finite only
             kv_rows.append(kv)
-            n_rows.append(len(v))
+            n_rows.append(len(nonnull))
+            nan_rows.append(len(nonnull) - len(v))
             mins.append(float(v.min()) if len(v) else np.inf)
             maxs.append(float(v.max()) if len(v) else -np.inf)
         cols: dict[str, pa.Array] = {
@@ -104,6 +116,7 @@ def _stats_pass(ds: ray.data.Dataset, keys: list[str], value_col: str) -> dict[t
             for i, k in enumerate(keys)
         }
         cols["__n"] = pa.array(n_rows, pa.int64())
+        cols["__nnan"] = pa.array(nan_rows, pa.int64())
         cols["__min"] = pa.array(mins, pa.float64())
         cols["__max"] = pa.array(maxs, pa.float64())
         return pa.table(cols)
@@ -113,10 +126,11 @@ def _stats_pass(ds: ray.data.Dataset, keys: list[str], value_col: str) -> dict[t
         _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).take_all():
         kv = tuple(row[f"__k{i}"] for i in range(len(keys)))
-        cur = stats.setdefault(kv, [0, np.inf, -np.inf])
+        cur = stats.setdefault(kv, [0, 0, np.inf, -np.inf])
         cur[0] += row["__n"]
-        cur[1] = min(cur[1], row["__min"])
-        cur[2] = max(cur[2], row["__max"])
+        cur[1] += row["__nnan"]
+        cur[2] = min(cur[2], row["__min"])
+        cur[3] = max(cur[3], row["__max"])
     return {kv: tuple(c) for kv, c in stats.items()}
 
 
@@ -255,10 +269,11 @@ def grouped_quantiles_exact(
     rank_tid: dict[tuple, dict[int, int]] = {}  # kv -> rank -> tid
     resolved: dict[int, float] = {}
     next_tid = 0
-    for kv, (n, mn, mx) in stats.items():
+    for kv, (n, nnan, mn, mx) in stats.items():
         rank_tid[kv] = {}
         if n == 0:
             continue
+        nf = n - nnan  # finite count; ranks nf..n-1 are the NaN tail
         need: set[int] = set()
         for q in qs.values():
             h = q * (n - 1)
@@ -268,7 +283,10 @@ def grouped_quantiles_exact(
         for k in sorted(need):
             tid, next_tid = next_tid, next_tid + 1
             rank_tid[kv][k] = tid
-            if mn == mx:
+            if k >= nf:
+                # NaN sorts greatest: any rank inside the NaN tail IS NaN
+                resolved[tid] = float("nan")
+            elif mn == mx:
                 resolved[tid] = mn
             else:
                 tasks[tid] = {

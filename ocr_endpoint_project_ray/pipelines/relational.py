@@ -563,7 +563,11 @@ _MOMENT_SCHEMA = pa.schema(
 def _moments_partial(b: pa.Table) -> pa.Table:
     """Per-(block, event_type) moment partials. Null-safe both ways: a NULL
     event_type is its own group (SQL GROUP BY semantics) and NULL values are
-    excluded from sum/mean/std/min/max but still counted in __n (count(*))."""
+    excluded from sum/mean/std/min/max but still counted in __n (count(*)).
+    Genuine float NaN is NOT a null (r4 review): it stays in the aggregate
+    like SQL's — sum/mean/std poison to NaN, and for ordering NaN sorts
+    GREATEST (DuckDB float ordering), so max→NaN when any NaN is present
+    while min keeps the smallest finite value."""
     import numpy as np
 
     if b.num_rows == 0:
@@ -571,8 +575,10 @@ def _moments_partial(b: pa.Table) -> pa.Table:
     b = b.take(pc.sort_indices(b, sort_keys=[("event_type", "ascending")]))
     keys = np.asarray(b.column("event_type").to_pylist(), dtype=object)
     vals_arr = b.column("value").combine_chunks()
-    vals = vals_arr.to_numpy(zero_copy_only=False)  # nulls -> NaN
-    valid = ~np.isnan(vals) if vals.dtype.kind == "f" else np.ones(len(vals), bool)
+    # validity BEFORE to_numpy: the conversion maps nulls to NaN, which
+    # would conflate SQL NULL (excluded) with real NaN (propagates)
+    valid = np.asarray(pc.is_valid(vals_arr))
+    vals = vals_arr.to_numpy(zero_copy_only=False)
     m = len(keys)
     starts = np.nonzero(np.concatenate(([True], keys[1:] != keys[:-1])))[0]
     ends = np.concatenate((starts[1:], [m]))
@@ -583,12 +589,14 @@ def _moments_partial(b: pa.Table) -> pa.Table:
         rows["n"].append(int(e_idx - s_idx))
         rows["nv"].append(len(seg))
         if len(seg):
-            mu = float(seg.mean())
+            mu = float(seg.mean())  # NaN values propagate (SQL arithmetic)
+            nan_mask = np.isnan(seg)
+            finite = seg[~nan_mask]
             rows["s"].append(float(seg.sum()))
             rows["mu"].append(mu)
             rows["m2"].append(float(((seg - mu) ** 2).sum()))
-            rows["mn"].append(float(seg.min()))
-            rows["mx"].append(float(seg.max()))
+            rows["mn"].append(float(finite.min()) if len(finite) else float("nan"))
+            rows["mx"].append(float("nan") if nan_mask.any() else float(seg.max()))
         else:  # null-only partial: neutral element for the Chan merge
             rows["s"].append(0.0)
             rows["mu"].append(0.0)
@@ -646,10 +654,19 @@ def _moments_merge(b: pa.Table) -> pa.Table:
             delta = mu2 - mu1
             st[3] = mu1 + delta * nv2 / nv if nv1 else mu2
             st[4] = m21 + m22 + (delta * delta * nv1 * nv2 / nv if nv1 else 0.0)
+        # NaN-aware merge (Python min/max with NaN is order-dependent):
+        # min ignores NaN unless every partial is NaN; max is NaN if any is
+        import math
+
         mins = [v for v in (mn1, r["__min"]) if v is not None]
         maxs = [v for v in (mx1, r["__max"]) if v is not None]
-        st[5] = min(mins) if mins else None
-        st[6] = max(maxs) if maxs else None
+        fmins = [v for v in mins if not math.isnan(v)]
+        st[5] = (min(fmins) if fmins else float("nan")) if mins else None
+        st[6] = (
+            (float("nan") if any(math.isnan(v) for v in maxs) else max(maxs))
+            if maxs
+            else None
+        )
     if st is not None:
         _emit(cur_k, st)
     return pa.table({c: pa.array(out[c], _MOMENT_SCHEMA.field(c).type) for c in out})

@@ -1442,7 +1442,10 @@ def _decontaminate_broadcast(
         tokre = re.compile(TOKEN_RE)
         texts = batch.column(text_col).to_pylist()
         hits = np.zeros(batch.num_rows, dtype=np.int64)
-        cache: dict[str, int] = {}  # per-batch shingle-hash cache (docs repeat n-grams)
+        # cross-doc shingle-hash cache, BOUNDED (the _md5_sig_rows pattern):
+        # a whole-block cache of every distinct L-gram string scales with
+        # total block text × L and can reach GBs on large blocks
+        cache: dict[str, int] = {}
         for row, t in enumerate(texts):
             ws = tokre.findall(t or "")
             n = 0
@@ -1454,6 +1457,8 @@ def _decontaminate_broadcast(
                     s = " ".join(ws[j : j + L])
                     h = cache.get(s)
                     if h is None:
+                        if len(cache) > 500_000:  # bound worker memory
+                            cache.clear()
                         h = _md5_hash64(s)
                         cache[s] = h
                     seen.add(h)
@@ -1537,15 +1542,35 @@ def _decontaminate_distributed(
         from ..functions.text import TOKEN_RE
 
         tok = re.compile(TOKEN_RE)
-        ls = [len(tok.findall(p or "")) for p in b.column("phrase").to_pylist()]
-        return pa.table({"L": pa.array([x for x in ls if x > 0], pa.int64())})
+        ls = {len(tok.findall(p or "")) for p in b.column("phrase").to_pylist()}
+        return pa.table({"L": pa.array(sorted(x for x in ls if x > 0), pa.int64())})
 
     n = num_partitions or default_keyed_partitions()
     # phrase sets are n-grams of a handful of distinct lengths (an eval
-    # suite has fixed-shape prompts) — enumerate them with a tiny unique
+    # suite has fixed-shape prompts) — per-block distinct + driver union
+    # (Dataset.unique would spawn the 200-partition default aggregator pool;
+    # see the CLAUDE.md keyed-ops rule)
     lengths = sorted(
-        phrases.map_batches(_phrase_len_rows, batch_size=None, batch_format="pyarrow").unique("L")
+        {
+            r["L"]
+            for r in phrases.map_batches(
+                _phrase_len_rows, batch_size=None, batch_format="pyarrow"
+            ).take_all()
+        }
     )
+    if not lengths:
+        # no tokenizable phrase → nothing is contaminated (the broadcast
+        # branch's behavior for the same degenerate input)
+        return docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column(id_col).slice(0, 0),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
     per_len = []
     for L in lengths:
         doc_sh = docs.map_batches(
@@ -1621,13 +1646,13 @@ def decontaminate_hashed(
     Docs with 0 hits are omitted (same contract as q54). Reference
     analogue: none — training-data extension."""
     if isinstance(phrases, ray.data.Dataset):
-        batches = list(
-            phrases.limit(max_broadcast_phrases + 1).iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
-        )
-        probe = pa.concat_tables(batches) if batches else None
-        if probe is None:
+        # LIMIT-bounded COUNT decides the dispatch — collecting 2M+1 probe
+        # rows to the driver just to compare num_rows (then discarding them
+        # on the distributed branch) was pure waste; the count's partial
+        # phrase-pipeline execution is the same bounded toll anti_join_auto
+        # pays, and the broadcast branch re-reads the rows it actually needs
+        n_probe = phrases.limit(max_broadcast_phrases + 1).count()
+        if n_probe == 0:
             # empty phrase set → nothing is contaminated
             return docs.map_batches(
                 lambda b: pa.table(
@@ -1639,8 +1664,13 @@ def decontaminate_hashed(
                 batch_size=None,
                 batch_format="pyarrow",
             )
-        if probe.num_rows <= max_broadcast_phrases:
-            plist = [p for p in probe.column("phrase").to_pylist() if p]
+        if n_probe <= max_broadcast_phrases:
+            plist = [
+                p
+                for b in phrases.iter_batches(batch_size=None, batch_format="pyarrow")
+                for p in b.column("phrase").to_pylist()
+                if p
+            ]
             return _decontaminate_broadcast(docs, plist, id_col=id_col, text_col=text_col)
         return _decontaminate_distributed(
             docs, phrases, id_col=id_col, text_col=text_col, num_partitions=num_partitions

@@ -135,44 +135,58 @@ def ann_topk(
 
 
 def _ivf_sample(corpus: ray.data.Dataset, sample_rows: int, id_col: str) -> list[dict]:
-    """Deterministic UNIFORM sample for quantizer training: bottom-
-    ``sample_rows`` rows by md5-64 of the id (the q29 hash-order family).
-    ``corpus.limit(n)`` took the first blocks, which on any corpus with
-    storage-order correlation (time- or source-partitioned — every real
-    100 TB corpus) trains the quantizer on a biased slice (r3 verdict
+    """Deterministic UNIFORM sample for quantizer training: the exact
+    bottom-``sample_rows`` rows by md5-64 of the id (the q29 hash-order
+    family). ``corpus.limit(n)`` took the first blocks, which on any corpus
+    with storage-order correlation (time- or source-partitioned — every
+    real 100 TB corpus) trains the quantizer on a biased slice (r3 verdict
     "What's wrong #3"). Hash order is independent of storage order, so a
     sorted corpus and its shuffled permutation train identical centroids
-    (pytest-asserted). One counting pass + one 2×-overshoot threshold
-    filter; survivors (~2× sample_rows in expectation, exponentially
-    concentrated) sort on the driver and truncate to the exact bottom-k."""
+    (pytest-asserted).
+
+    ONE pass over the corpus (a count+threshold design would re-execute the
+    whole upstream DAG per consumer — Ray re-runs lazy pipelines for each
+    consumer): per-block bottom-k → coalesce → bottom-k again → one block →
+    global bottom-k. Every level keeps ≤ sample_rows rows per block, so the
+    reduce moves O(blocks × sample_rows) rows level-one and ≤ 8×sample_rows
+    after, and the driver receives exactly min(sample_rows, |corpus|)
+    rows."""
     from ..stages.dedup import _md5_hash64
 
-    total = corpus.count()
-    if total <= sample_rows:
-        rows = corpus.take_all()
-        return sorted(rows, key=lambda r: _md5_hash64(str(r[id_col])))
+    def _bottom_k(b: pa.Table) -> pa.Table:
+        if "__hv" not in b.column_names:  # level 1: attach the hash key
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "__hv": pa.array([], pa.uint64()),
+                        "embedding": pa.array([], b.schema.field("embedding").type),
+                    }
+                )
+            hv = np.fromiter(
+                (_md5_hash64(str(v)) for v in b.column(id_col).to_pylist()),
+                dtype=np.uint64,
+                count=b.num_rows,
+            )
+            b = pa.table(
+                {"__hv": pa.array(hv, pa.uint64()), "embedding": b.column("embedding")}
+            )
+        if b.num_rows == 0:
+            return b
+        order = pc.sort_indices(b, sort_keys=[("__hv", "ascending")])
+        return b.take(order.slice(0, min(sample_rows, b.num_rows)))
 
-    scale = float(2**64)
-    threshold = min(1.0, 2.0 * sample_rows / total)
-
-    def _thresh(b: pa.Table) -> pa.Table:
-        hv = np.fromiter(
-            (_md5_hash64(str(v)) for v in b.column(id_col).to_pylist()),
-            dtype=np.uint64,
-            count=b.num_rows,
+    reduced = (
+        corpus.map_batches(
+            _bottom_k, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
-        return b.filter(pa.array(hv / scale < threshold))
-
-    survivors = corpus.map_batches(
-        _thresh, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    survivors.sort(key=lambda r: _md5_hash64(str(r[id_col])))
-    if len(survivors) < sample_rows:
-        # astronomically unlikely (Chernoff: <e^-500 at the 2× overshoot),
-        # but fall back to everything under the threshold rather than train
-        # on a short sample silently
-        return survivors
-    return survivors[:sample_rows]
+        .repartition(num_blocks=8)
+        .map_batches(_bottom_k, batch_size=None, batch_format="pyarrow")
+        .repartition(num_blocks=1)
+        .map_batches(_bottom_k, batch_size=None, batch_format="pyarrow")
+    )
+    rows = reduced.take_all()
+    rows.sort(key=lambda r: r["__hv"])
+    return rows[:sample_rows]
 
 
 def train_ivf_centroids(

@@ -473,3 +473,40 @@ def test_q40_describe_null_key_and_null_values(tmp_path):
         "event_type", na_position="last"
     ).reset_index(drop=True)[sorted(df.columns)]
     pd.testing.assert_frame_equal(key(res), key(ora), check_dtype=False)
+
+
+def test_q40_describe_nan_values_propagate(tmp_path):
+    """Genuine float NaN is a VALUE, not a NULL (r4 review): the moments
+    must poison to NaN like SQL arithmetic (the old isnan mask silently
+    returned finite answers), min keeps the smallest finite value, max and
+    the NaN-tail quantile ranks go NaN (NaN sorts greatest). Engine-only
+    assertions: DuckDB itself RAISES OutOfRangeException on
+    stddev_samp with NaN input, so oracle parity is unattainable here —
+    well-defined degradation is the contract."""
+    import math
+
+    from ocr_endpoint_project_ray.pipelines.relational import q40_value_describe
+
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b", "b", None], pa.string()),
+            "value": pa.array([1.0, float("nan"), 3.0, 2.0, None, 5.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {r["event_type"]: r for r in q40_value_describe(str(tmp_path)).to_pylist()}
+
+    a = rows["a"]  # values [1.0, NaN, 3.0] — NaN last: ranks 0,1 finite, 2 NaN
+    assert a["n"] == 3
+    assert math.isnan(a["mean"]) and math.isnan(a["std"])
+    assert a["min"] == 1.0 and math.isnan(a["max"])
+    assert a["p25"] == 2.0  # h=0.5 interpolates the finite ranks 1.0, 3.0
+    assert a["p50"] == 3.0  # h=1.0 → exact finite rank
+    assert math.isnan(a["p75"])  # h=1.5 interpolates into the NaN tail
+
+    b = rows["b"]  # [2.0, NULL]: null excluded everywhere except n
+    assert b["n"] == 2 and b["mean"] == 1.0  # round(sum)/count(*) = 2.0/2
+    assert b["min"] == 2.0 and b["max"] == 2.0 and b["p50"] == 2.0
+
+    none_row = rows[None]
+    assert none_row["n"] == 1 and none_row["min"] == 5.0 and none_row["max"] == 5.0
