@@ -1711,6 +1711,24 @@ def q64_decontaminate_distributed(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q65_remove_contaminated(sf_dir: str) -> ray.data.Dataset:
+    """The training-corpus decontamination FILTER: q63's hashed hit set →
+    size-dispatched anti join → the CLEAN docs (what a real pipeline feeds
+    downstream; q63/q64 report the hits, this removes them). Composition of
+    two already-oracled operators, itself oracled end-to-end. The documents
+    source is consumed by both the phrase/hit derivation and the anti-join
+    left side — a cheap re-scan of a stored table, the priced lazy-DAG
+    trade (CLAUDE.md salted-reassembly note)."""
+    from ..functions.join import anti_join_auto
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hits = decontaminate_hashed(docs, _bench_phrases(docs))
+    clean = anti_join_auto(docs, hits, on="doc_id")
+    return clean.map_batches(
+        lambda b: b.select(["doc_id"]), batch_size=None, batch_format="pyarrow"
+    )
+
+
 #: SQL twin of q63 — the benchmark set rebuilt from the q54 rule, then both
 #: sides md5-hashed exactly as the engine does: phrase hash = md5-64 of the
 #: space-joined tokens; doc side = DISTINCT md5-64 over every whole-token
@@ -1736,6 +1754,16 @@ gr AS (
 SELECT doc_id, count(*) AS n_hits
 FROM gr JOIN bench ON g = ph
 GROUP BY doc_id
+"""
+
+
+#: SQL twin of q65 — q63's hit set anti-joined away (NOT EXISTS = SQL anti
+#: join semantics: null keys on the left are kept, mirrored by
+#: anti_join_auto).
+Q65_ORACLE = f"""
+WITH hits AS ({Q63_ORACLE})
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
 """
 
 

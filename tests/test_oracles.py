@@ -89,6 +89,7 @@ def test_driver_window_ordering():
         "q02_revenue_filter": ["q27_priority_revenue"],
         "q08_top_orders": ["q35_top_orders_per_priority", "q22_recommend_source"],
         "q09_latest_event_per_user": ["q30_distinct_pairs"],
+        "q23_ann_topk": ["q61_ann_ivf_fullprobe"],
         "q10_event_type_stats": ["q05_segment_stats", "q06_part_type_stats"],
         "q11_hourly_events": ["q04_status_priority"],
         "q12_high_value_rate": ["q24_parse_validity_rates"],
@@ -122,6 +123,7 @@ def test_driver_window_ordering():
         "q62_user_sessions_salted",
         "q63_decontaminate_hashed",
         "q64_decontaminate_distributed",
+        "q65_remove_contaminated",
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",
