@@ -310,3 +310,59 @@ def test_small_groups_equals_keyed_path(rows, nblocks):
     assert norm(grouped_agg(ds1, ["k"], aggs, small_groups=True)) == norm(
         grouped_agg(ds2, ["k"], aggs, num_partitions=3)
     )
+
+
+@_ray_settings
+@given(
+    data=st.data(),
+    n_docs=st.integers(1, 12),
+    n_phrases=st.integers(0, 6),
+)
+def test_decontaminate_hashed_matches_naive(data, n_docs, n_phrases):
+    """decontaminate_hashed (broadcast AND distributed paths) vs a naive
+    Python reference: n_hits = number of DISTINCT canonical phrase token
+    tuples occurring as a whole-token n-gram of the doc. Random small
+    alphabets force shared n-grams, repeated phrases, multi-length phrase
+    sets, and phrase-longer-than-doc edges."""
+    from ocr_endpoint_project_ray.pipelines.textops import decontaminate_hashed
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "e"])
+    docs = [
+        (i, " ".join(data.draw(st.lists(word, min_size=0, max_size=12))))
+        for i in range(n_docs)
+    ]
+    phrases = [
+        " ".join(data.draw(st.lists(word, min_size=0, max_size=4)))
+        for _ in range(n_phrases)
+    ]
+
+    expected: dict[int, int] = {}
+    canon = {tuple(p.split()) for p in phrases if p.split()}
+    for i, text in docs:
+        toks = text.split()
+        hits = sum(
+            1
+            for pt in canon
+            if len(pt) <= len(toks)
+            and any(tuple(toks[j : j + len(pt)]) == pt for j in range(len(toks) - len(pt) + 1))
+        )
+        if hits:
+            expected[i] = hits
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    broad = {r["doc_id"]: r["n_hits"] for r in decontaminate_hashed(ds, phrases).take_all()}
+    assert broad == expected
+    dist = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate_hashed(
+            ds, phrases, max_broadcast_phrases=0, num_partitions=2
+        ).take_all()
+    }
+    assert dist == expected
