@@ -374,6 +374,42 @@ def q28_purchase_last_view(sf_dir: str) -> ray.data.Dataset:
     return asof_join_latest_ts(purchases, views, key="user_id", out_col="last_view_ts")
 
 
+def q66_rolling_window_salted(sf_dir: str) -> ray.data.Dataset:
+    """q48's trailing-1-hour window through the SKEW-SAFE salted path
+    (stages/windows.py::rolling_window_salted — time-bucket partitioning
+    with a trailing-window context copy). Answer-identical to
+    :func:`q48_rolling_window` by contract (parity property test), so it
+    shares q48's oracle verbatim — the q62 pattern: every salted twin gets
+    its own driver row."""
+    from ..stages.windows import rolling_window_salted
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return rolling_window_salted(ds, window_us=3_600_000_000)
+
+
+def q67_purchase_last_view_salted(sf_dir: str) -> ray.data.Dataset:
+    """q28's as-of join through the SKEW-SAFE salted path
+    (stages/asof.py::asof_join_latest_ts_salted — best-before summary
+    pre-pass + (key, bucket) partitioning). Answer-identical to
+    :func:`q28_purchase_last_view` by contract (parity pytest incl. the
+    empty-right edge), so it shares q28's oracle verbatim."""
+    from ..stages.asof import asof_join_latest_ts_salted
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def _of(kind):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), kind)).drop_columns(["event_type"])
+
+        return _f
+
+    purchases = ev.map_batches(_of("purchase"), batch_size=None, batch_format="pyarrow")
+    views = ev.map_batches(_of("view"), batch_size=None, batch_format="pyarrow")
+    return asof_join_latest_ts_salted(
+        purchases, views, key="user_id", out_col="last_view_ts"
+    )
+
+
 def q34_value_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-group quantiles with BOUNDED per-block memory: the
     histogram+refine operator (functions/quantiles.py) — no block ever holds
@@ -909,9 +945,12 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
 }
 
-# q62 = q25 through the salted path; answer-identical by contract, so the
-# oracle is q25's SQL verbatim (the check certifies that identity).
+# q62/q66/q67 = q25/q48/q28 through their salted paths; answer-identical by
+# contract, so each shares its unsalted twin's SQL verbatim (the check
+# certifies that identity end-to-end in the driver's own file).
 RELATIONAL_ORACLES["q62_user_sessions_salted"] = RELATIONAL_ORACLES["q25_user_sessions"]
+RELATIONAL_ORACLES["q66_rolling_window_salted"] = RELATIONAL_ORACLES["q48_rolling_window"]
+RELATIONAL_ORACLES["q67_purchase_last_view_salted"] = RELATIONAL_ORACLES["q28_purchase_last_view"]
 
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -939,4 +978,6 @@ RELATIONAL_QUERIES = {
     "q48_rolling_window": q48_rolling_window,
     "q28_purchase_last_view": q28_purchase_last_view,
     "q62_user_sessions_salted": q62_user_sessions_salted,
+    "q66_rolling_window_salted": q66_rolling_window_salted,
+    "q67_purchase_last_view_salted": q67_purchase_last_view_salted,
 }

@@ -97,9 +97,11 @@ def test_driver_window_ordering():
         "q16_token_counts": ["q56_chunk_tokens", "q31_bpe_tokens"],
         "q25_user_sessions": ["q62_user_sessions_salted"],
         "q26_decision_scores": ["q13_minmax_suppliers", "q21_condorcet_sources"],
+        "q28_purchase_last_view": ["q67_purchase_last_view_salted"],
         "q33_quality_filter": ["q17_doc_quality"],
         "q36_distinct_users": ["q30_distinct_pairs", "q50_approx_distinct_users"],
         "q47_stratified_sample": ["q29_hash_sample"],
+        "q48_rolling_window": ["q66_rolling_window_salted"],
     }
     outside = [k for k in keys[50:] if k in oracled]
     assert outside == [k for k in sorted(DEMOTED_TWINS) if k in oracled]
@@ -124,6 +126,8 @@ def test_driver_window_ordering():
         "q63_decontaminate_hashed",
         "q64_decontaminate_distributed",
         "q65_remove_contaminated",
+        "q66_rolling_window_salted",
+        "q67_purchase_last_view_salted",
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",
