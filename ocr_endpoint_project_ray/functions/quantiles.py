@@ -101,9 +101,14 @@ def _stats_pass(ds: ray.data.Dataset, keys: list[str], value_col: str) -> dict[t
     def _partial(batch: pa.Table) -> pa.Table:
         kv_rows, n_rows, nan_rows, mins, maxs = [], [], [], [], []
         for kv in _block_groups(batch, keys):
+            # one mask + one filter per group; the finite array derives
+            # from the nonnull values (re-calling _group_values would
+            # rebuild the identical mask and filter)
             mask = _group_mask(batch, keys, kv)
-            nonnull = batch.column(value_col).filter(mask).drop_null()
-            v = _group_values(batch, keys, value_col, kv)  # finite only
+            nonnull = np.asarray(
+                batch.column(value_col).filter(mask).drop_null()
+            )
+            v = nonnull[~np.isnan(nonnull)] if nonnull.dtype.kind == "f" else nonnull
             kv_rows.append(kv)
             n_rows.append(len(nonnull))
             nan_rows.append(len(nonnull) - len(v))
@@ -279,7 +284,10 @@ def grouped_quantiles_exact(
             h = q * (n - 1)
             lo_k = int(np.floor(h))
             need.add(lo_k)
-            need.add(min(lo_k + 1, n - 1))
+            if h != lo_k:  # integer rank needs no upper neighbor (frac==0
+                # short-circuits the interpolation — a refined value there
+                # would be provably dead work)
+                need.add(min(lo_k + 1, n - 1))
         for k in sorted(need):
             tid, next_tid = next_tid, next_tid + 1
             rank_tid[kv][k] = tid
@@ -350,6 +358,9 @@ def grouped_quantiles_exact(
                 continue
             h = q * (n - 1)
             lo_k = int(np.floor(h))
+            if h == lo_k:
+                qcols[name].append(resolved[rank_tid[kv][lo_k]])
+                continue
             hi_k = min(lo_k + 1, n - 1)
             seg = [resolved[rank_tid[kv][lo_k]], resolved[rank_tid[kv][hi_k]]]
             qcols[name].append(quantile_cont_sorted(seg, h - lo_k))

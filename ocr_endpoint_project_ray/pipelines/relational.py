@@ -12,6 +12,8 @@ value-hash.
 
 from __future__ import annotations
 
+import math
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -692,8 +694,6 @@ def _moments_merge(b: pa.Table) -> pa.Table:
             st[4] = m21 + m22 + (delta * delta * nv1 * nv2 / nv if nv1 else 0.0)
         # NaN-aware merge (Python min/max with NaN is order-dependent):
         # min ignores NaN unless every partial is NaN; max is NaN if any is
-        import math
-
         mins = [v for v in (mn1, r["__min"]) if v is not None]
         maxs = [v for v in (mx1, r["__max"]) if v is not None]
         fmins = [v for v in mins if not math.isnan(v)]

@@ -1646,13 +1646,29 @@ def decontaminate_hashed(
     Docs with 0 hits are omitted (same contract as q54). Reference
     analogue: none — training-data extension."""
     if isinstance(phrases, ray.data.Dataset):
-        # LIMIT-bounded COUNT decides the dispatch — collecting 2M+1 probe
-        # rows to the driver just to compare num_rows (then discarding them
-        # on the distributed branch) was pure waste; the count's partial
-        # phrase-pipeline execution is the same bounded toll anti_join_auto
-        # pays, and the broadcast branch re-reads the rows it actually needs
-        n_probe = phrases.limit(max_broadcast_phrases + 1).count()
-        if n_probe == 0:
+        # ONE LIMIT-bounded collection decides the dispatch AND feeds the
+        # broadcast branch: the probe rows ARE the broadcast payload (the
+        # hash arrays built from them live on the driver regardless), so
+        # the common ≤threshold case executes the phrase pipeline exactly
+        # once. A separate count-then-read would re-execute the pipeline on
+        # every broadcast dispatch; this shape instead pays one discarded
+        # bounded partial scan only on the rare >threshold branch — the
+        # same documented toll as anti_join_auto's probe.
+        probe_rows: list[str] = []
+        over = False
+        for b in phrases.limit(max_broadcast_phrases + 1).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            probe_rows.extend(b.column("phrase").to_pylist())
+            if len(probe_rows) > max_broadcast_phrases:
+                over = True
+                break
+        if over:
+            return _decontaminate_distributed(
+                docs, phrases, id_col=id_col, text_col=text_col, num_partitions=num_partitions
+            )
+        plist = [p for p in probe_rows if p]
+        if not plist:
             # empty phrase set → nothing is contaminated
             return docs.map_batches(
                 lambda b: pa.table(
@@ -1664,17 +1680,7 @@ def decontaminate_hashed(
                 batch_size=None,
                 batch_format="pyarrow",
             )
-        if n_probe <= max_broadcast_phrases:
-            plist = [
-                p
-                for b in phrases.iter_batches(batch_size=None, batch_format="pyarrow")
-                for p in b.column("phrase").to_pylist()
-                if p
-            ]
-            return _decontaminate_broadcast(docs, plist, id_col=id_col, text_col=text_col)
-        return _decontaminate_distributed(
-            docs, phrases, id_col=id_col, text_col=text_col, num_partitions=num_partitions
-        )
+        return _decontaminate_broadcast(docs, plist, id_col=id_col, text_col=text_col)
     if len(phrases) <= max_broadcast_phrases:
         return _decontaminate_broadcast(docs, list(phrases), id_col=id_col, text_col=text_col)
     return _decontaminate_distributed(
