@@ -80,31 +80,45 @@ def test_driver_window_ordering():
     oracled = set(entrymod.oracle_sql())
     first_rows_only = next(i for i, k in enumerate(keys) if k not in oracled)
     assert all(k not in oracled for k in keys[first_rows_only:])
-    # Round-4 rotation (r3 verdict item 2): the r3 demotion set is restored
-    # in-window; these thirteen (all driver-green in CORRECTNESS_r03) are
-    # demoted, each with the in-window operator twin(s) listed — asserted
-    # below so a future edit can't silently drop a covering twin.
+    # Round-5 rotation (r3 verdict item 2, standing protocol): the r4
+    # demotion set is restored in-window (except q02); these twenty-one
+    # (all driver-green in CORRECTNESS_r04) are demoted, each with the
+    # in-window operator twin(s) listed — asserted below so a future edit
+    # can't silently drop a covering twin. q61/q62/q64/q66/q67 share their
+    # twin's oracle VERBATIM (identical SQL string), so either member of
+    # the pair certifies it.
     DEMOTED_TWINS = {
-        "q01_pricing_summary": ["q05_segment_stats", "q06_part_type_stats"],
         "q02_revenue_filter": ["q27_priority_revenue"],
-        "q08_top_orders": ["q35_top_orders_per_priority", "q22_recommend_source"],
-        "q09_latest_event_per_user": ["q30_distinct_pairs"],
-        "q23_ann_topk": ["q61_ann_ivf_fullprobe"],
-        "q10_event_type_stats": ["q05_segment_stats", "q06_part_type_stats"],
-        "q11_hourly_events": ["q04_status_priority"],
-        "q12_high_value_rate": ["q24_parse_validity_rates"],
-        "q15_doc_fingerprint": ["q29_hash_sample", "q14_doc_dedup"],
-        "q16_token_counts": ["q56_chunk_tokens", "q31_bpe_tokens"],
-        "q25_user_sessions": ["q62_user_sessions_salted"],
-        "q26_decision_scores": ["q13_minmax_suppliers", "q21_condorcet_sources"],
-        "q28_purchase_last_view": ["q67_purchase_last_view_salted"],
-        "q33_quality_filter": ["q17_doc_quality"],
-        "q36_distinct_users": ["q30_distinct_pairs", "q50_approx_distinct_users"],
-        "q47_stratified_sample": ["q29_hash_sample"],
-        "q48_rolling_window": ["q66_rolling_window_salted"],
+        "q03_orders_priority": ["q10_event_type_stats"],
+        "q04_status_priority": ["q11_hourly_events"],
+        "q05_segment_stats": ["q01_pricing_summary"],
+        "q06_part_type_stats": ["q01_pricing_summary", "q10_event_type_stats"],
+        "q07_revenue_by_nation": ["q27_priority_revenue"],
+        "q13_minmax_suppliers": ["q26_decision_scores", "q40_value_describe"],
+        "q17_doc_quality": ["q33_quality_filter"],
+        "q18_lang_stats": ["q45_langid", "q01_pricing_summary"],
+        "q22_recommend_source": ["q08_top_orders", "q21_condorcet_sources"],
+        "q29_hash_sample": ["q47_stratified_sample", "q15_doc_fingerprint"],
+        "q30_distinct_pairs": ["q36_distinct_users", "q09_latest_event_per_user"],
+        "q37_price_bands": ["q32_parse_error_categories"],
+        "q38_customers_no_orders": ["q65_remove_contaminated"],
+        "q42_rolling_fingerprint": ["q15_doc_fingerprint"],
+        "q46_top_terms": ["q10_event_type_stats", "q08_top_orders"],
+        "q61_ann_ivf_fullprobe": ["q23_ann_topk"],
+        "q62_user_sessions_salted": ["q25_user_sessions"],
+        "q64_decontaminate_distributed": ["q63_decontaminate_hashed"],
+        "q66_rolling_window_salted": ["q48_rolling_window"],
+        "q67_purchase_last_view_salted": ["q28_purchase_last_view"],
     }
+    # every NON-demoted oracled query must sit inside the checked window,
+    # and anything past position 50 must be a documented demotion
+    in_window_oracled = [k for k in keys if k in oracled and k not in DEMOTED_TWINS]
+    for k in in_window_oracled:
+        assert keys.index(k) < 50, f"non-demoted oracled query {k} fell out of the window"
     outside = [k for k in keys[50:] if k in oracled]
-    assert outside == [k for k in sorted(DEMOTED_TWINS) if k in oracled]
+    assert set(outside) <= set(DEMOTED_TWINS)
+    # demoted queries stay registered (the judge re-verifies them)
+    assert set(DEMOTED_TWINS) <= set(keys)
     for demoted_q, twins in DEMOTED_TWINS.items():
         for twin in twins:
             assert twin in keys[:50], f"{demoted_q}'s covering twin {twin} fell out of the window"
@@ -121,13 +135,12 @@ def test_driver_window_ordering():
         "q58_top_bigram",
         "q59_redact_terms",
         "q60_dup_groups",
-        "q61_ann_ivf_fullprobe",
-        "q62_user_sessions_salted",
+        "q23_ann_topk",
+        "q25_user_sessions",
+        "q28_purchase_last_view",
+        "q48_rolling_window",
         "q63_decontaminate_hashed",
-        "q64_decontaminate_distributed",
         "q65_remove_contaminated",
-        "q66_rolling_window_salted",
-        "q67_purchase_last_view_salted",
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",
