@@ -45,6 +45,7 @@ from ocr_endpoint_project_ray.pipelines.textops import (
     Q60_ORACLE,
     Q63_ORACLE,
     Q65_ORACLE,
+    Q68_ORACLE,
     TEXT_ORACLES,
     TEXT_QUERIES,
     q51_jaccard_pairs,
@@ -57,6 +58,7 @@ from ocr_endpoint_project_ray.pipelines.textops import (
     q63_decontaminate_hashed,
     q64_decontaminate_distributed,
     q65_remove_contaminated,
+    q68_embed_ann,
 )
 
 
@@ -90,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     all_q["q63_decontaminate_hashed"] = q63_decontaminate_hashed
     all_q["q64_decontaminate_distributed"] = q64_decontaminate_distributed
     all_q["q65_remove_contaminated"] = q65_remove_contaminated
+    all_q["q68_embed_ann"] = q68_embed_ann
     all_q["x_extraction_scores"] = x_extraction_scores
     all_q["x_score_summary"] = x_score_summary
     # The driver evaluates entries in dict order with a bounded (~50-entry)
@@ -224,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
     # by contract, so the oracle is shared verbatim (the q62 pattern).
     out["q64_decontaminate_distributed"] = Q63_ORACLE
     out["q65_remove_contaminated"] = Q65_ORACLE
+    out["q68_embed_ann"] = Q68_ORACLE
     return out

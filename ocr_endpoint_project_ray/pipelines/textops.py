@@ -1842,3 +1842,78 @@ SELECT qid AS query_id, nid AS neighbor_id, nn_rank FROM (
 
 
 Q55_ORACLE = _q55_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# q68: embedding GENERATION → ANN, end-to-end from text
+# ---------------------------------------------------------------------------
+
+
+def q68_embed_ann(sf_dir: str) -> ray.data.Dataset:
+    """The full similarity-search pipeline FROM TEXT (r4 verdict item 2):
+    documents → actor-pool embedding stage (stages/embed.py::EmbedStage —
+    hashing-trick bag-of-tokens stub, real encoder import-gated) →
+    brute-force cosine top-5 (stages/ann.py::ann_topk). Queries are docs
+    0-3, encoded driver-side with the identical arithmetic and broadcast;
+    corpus is everything else, embedded distributed. Rank-only output,
+    ranked by ``round(sim, 9)`` on BOTH sides: integer count vectors give
+    TRUE cosine ties (proportional short docs — observed at sf0.001) that
+    raw-float ranking would order by ~1-ulp noise; rounding collapses them
+    onto one canonical value per side and the neighbor_id tie-break orders
+    them identically. Parity then rests only on "no sim within ~1e-12 of a
+    9-decimal rounding boundary", asserted in tests/test_embed.py."""
+    from ..stages.embed import embed_documents, encode_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    q_docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    queries = encode_table(q_docs.filter(pc.less(q_docs.column("doc_id"), 4)))
+
+    def _corpus_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("doc_id"), 4))
+
+    corpus = embed_documents(
+        docs.map_batches(
+            _corpus_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        concurrency=(1, 4),
+    )
+    out = ann_topk(corpus, queries, k=5, round_sims=9)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "neighbor_id", "nn_rank"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+#: SQL twin of q68 — the stub encoder replayed exactly: token bucket =
+#: md5-64(token) % 16 (the repo-wide md5-64: first 16 hex chars as UBIGINT),
+#: embedding = dense 16-dim token-bucket count vector, similarity = cosine
+#: rounded to 9 decimals before ranking (tie-robust mode — see the q68
+#: docstring; boundary clearance asserted in tests/test_embed.py).
+Q68_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}')) AS w
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 16))::UBIGINT % 16 AS BIGINT) AS j,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM tok GROUP BY doc_id, j
+),
+vecs AS (
+  SELECT dd.doc_id, list(COALESCE(f.c, 0.0) ORDER BY r.j) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) dd
+  CROSS JOIN range(16) r(j)
+  LEFT JOIN feat f ON f.doc_id = dd.doc_id AND f.j = r.j
+  GROUP BY dd.doc_id
+),
+q AS (SELECT doc_id AS qid, v AS qe FROM vecs WHERE doc_id < 4),
+c AS (SELECT doc_id AS nid, v AS ce FROM vecs WHERE doc_id >= 4),
+s AS (SELECT qid, nid, round(list_cosine_similarity(qe, ce), 9) AS sim
+      FROM q CROSS JOIN c)
+SELECT qid AS query_id, nid AS neighbor_id, nn_rank FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS nn_rank
+  FROM s) WHERE nn_rank <= 5
+"""

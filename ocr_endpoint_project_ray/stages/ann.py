@@ -33,13 +33,25 @@ def _l2norm(m: np.ndarray) -> np.ndarray:
 
 
 class _BruteForceScorer:
-    """Actor-pool stage: queries loaded+normalized once per actor."""
+    """Actor-pool stage: queries loaded+normalized once per actor.
 
-    def __init__(self, queries_ref: ray.ObjectRef, k: int) -> None:
+    ``round_sims``: decimals to round each cosine to before ranking. With
+    integer-exact embeddings (stages/embed.py) the true cosines on both
+    engine and SQL sides agree to ~1e-15, so 9-decimal rounding collapses
+    float near-ties onto one canonical value per side and the neighbor_id
+    tie-break orders them identically — parity then rests only on "no sim
+    within ~1e-12 of a rounding boundary" (asserted exactly,
+    tests/test_embed.py) instead of on rank-gap clearance. When rounding,
+    per-batch pruning uses a deterministic (sim desc, id asc) lexsort —
+    argpartition breaks boundary ties arbitrarily, which is fine only when
+    ties can't reach the k-th slot."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, k: int, round_sims: int | None = None) -> None:
         q_tbl: pa.Table = ray.get(queries_ref)
         self._qids = np.asarray(q_tbl.column("vec_id").to_pylist(), dtype=np.int64)
         self._q = _l2norm(_to_matrix(q_tbl.column("embedding")))
         self._k = k
+        self._round = round_sims
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or self._q.size == 0:
@@ -54,8 +66,16 @@ class _BruteForceScorer:
         m = _l2norm(_to_matrix(batch.column("embedding")))
         sims = self._q @ m.T  # (n_queries, n_batch)
         k = min(self._k, sims.shape[1])
-        # per-batch top-k candidates per query (argpartition, then exact sort at merge)
-        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        if self._round is not None:
+            sims = np.round(sims, self._round)
+            # deterministic per-query top-k under ties: (sim desc, id asc)
+            part = np.empty((sims.shape[0], k), dtype=np.int64)
+            for qi in range(sims.shape[0]):
+                part[qi] = np.lexsort((ids, -sims[qi]))[:k]
+        else:
+            # per-batch top-k candidates per query (argpartition, then exact
+            # sort at merge)
+            part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         qi = np.repeat(self._qids, k)
         ni = ids[part.ravel()]
         sv = np.take_along_axis(sims, part, axis=1).ravel()
@@ -111,12 +131,16 @@ def ann_topk(
     *,
     k: int = 5,
     num_partitions: int | None = None,
+    round_sims: int | None = None,
 ) -> ray.data.Dataset:
     """Exact brute-force cosine top-k of ``queries`` against the corpus.
 
     corpus: Dataset with (vec_id:int64, embedding:list<float>);
     queries: small Arrow table with the same columns (broadcast).
     Output: (query_id, neighbor_id, rank 1..k), deterministic under ties.
+    ``round_sims`` ranks by the rounded cosine instead (see
+    :class:`_BruteForceScorer` — the tie-robust mode for integer-exact
+    embeddings).
     """
     n = num_partitions or default_num_partitions()
     ref = ray.put(queries)
@@ -126,7 +150,7 @@ def ann_topk(
         zero_copy_batch=True,
         batch_size=4096,
         concurrency=(1, 8),
-        fn_constructor_args=(ref, k),
+        fn_constructor_args=(ref, k, round_sims),
     )
     co = candidates.repartition(num_blocks=min(n, 8), keys=["query_id"])
     return co.map_batches(
