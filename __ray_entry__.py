@@ -26,6 +26,14 @@ from ocr_endpoint_project_ray.pipelines.chunking import (
     CHUNK_ORACLES,
     CHUNK_QUERIES,
 )
+from ocr_endpoint_project_ray.pipelines.ingest import (
+    Q69_ORACLE,
+    Q70_ORACLE,
+    Q71_ORACLE,
+    q69_upload_validation,
+    q70_incremental_dedup,
+    q71_media_features,
+)
 from ocr_endpoint_project_ray.pipelines.scoring import (
     x_extraction_scores,
     x_score_summary,
@@ -93,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     all_q["q64_decontaminate_distributed"] = q64_decontaminate_distributed
     all_q["q65_remove_contaminated"] = q65_remove_contaminated
     all_q["q68_embed_ann"] = q68_embed_ann
+    all_q["q69_upload_validation"] = q69_upload_validation
+    all_q["q70_incremental_dedup"] = q70_incremental_dedup
+    all_q["q71_media_features"] = q71_media_features
     all_q["x_extraction_scores"] = x_extraction_scores
     all_q["x_score_summary"] = x_score_summary
     # The driver evaluates entries in dict order with a bounded (~50-entry)
@@ -228,4 +239,7 @@ def oracle_sql() -> dict[str, str]:
     out["q64_decontaminate_distributed"] = Q63_ORACLE
     out["q65_remove_contaminated"] = Q65_ORACLE
     out["q68_embed_ann"] = Q68_ORACLE
+    out["q69_upload_validation"] = Q69_ORACLE
+    out["q70_incremental_dedup"] = Q70_ORACLE
+    out["q71_media_features"] = Q71_ORACLE
     return out
