@@ -1444,7 +1444,10 @@ def _decontaminate_broadcast(
         hits = np.zeros(batch.num_rows, dtype=np.int64)
         # cross-doc shingle-hash cache, BOUNDED (the _md5_sig_rows pattern):
         # a whole-block cache of every distinct L-gram string scales with
-        # total block text × L and can reach GBs on large blocks
+        # total block text × L and can reach GBs on large blocks. Once full
+        # it stops ADMITTING new entries but keeps serving the hot ones —
+        # wholesale clear() thrashed to zero hit-rate whenever a block
+        # hovered around the bound (ADVICE r4).
         cache: dict[str, int] = {}
         for row, t in enumerate(texts):
             ws = tokre.findall(t or "")
@@ -1457,10 +1460,9 @@ def _decontaminate_broadcast(
                     s = " ".join(ws[j : j + L])
                     h = cache.get(s)
                     if h is None:
-                        if len(cache) > 500_000:  # bound worker memory
-                            cache.clear()
                         h = _md5_hash64(s)
-                        cache[s] = h
+                        if len(cache) < 500_000:  # bound worker memory
+                            cache[s] = h
                     seen.add(h)
                 arr = np.fromiter(seen, dtype=np.uint64, count=len(seen))
                 # membership against the sorted phrase-hash array
@@ -1471,7 +1473,12 @@ def _decontaminate_broadcast(
         keep = pa.array(hits > 0)
         return pa.table(
             {
-                "doc_id": batch.column(id_col).filter(keep),
+                # int64 pins the output type to the distributed branch's
+                # sentinel-protocol schema, so both dispatch paths return
+                # identically-typed results for any accepted id type
+                # (ADVICE r4: an int32-id corpus used to come back int32
+                # here, int64 there)
+                "doc_id": pc.cast(batch.column(id_col).filter(keep), pa.int64()),
                 "n_hits": pa.array(hits[hits > 0], pa.int64()),
             }
         )
@@ -1481,11 +1488,16 @@ def _decontaminate_broadcast(
     )
 
 
-def _phrase_mark_rows(b: pa.Table, *, L: int) -> pa.Table:
+def _phrase_mark_rows_all(b: pa.Table) -> pa.Table:
     """Phrase side of the distributed membership: one ``(sh, doc=-1)``
-    sentinel row per phrase of token-length ``L`` (the
+    sentinel row per tokenizable phrase, ALL lengths in one pass (the
     ``_shingle_index_block`` sentinel convention — doc ids are asserted
-    non-negative int64 by ``_shingle_md5_rows``)."""
+    non-negative int64 on the doc side). Merging lengths into one hash
+    space is sound: TOKEN_RE tokens contain no spaces, so a space-joined
+    n-gram string uniquely determines its token count — an L1 phrase can
+    only match an L2≠L1 doc n-gram via an md5-64 collision, which both the
+    per-length design and the SQL oracle already tolerate identically (the
+    q51 argument)."""
     import re
 
     import numpy as np
@@ -1497,10 +1509,66 @@ def _phrase_mark_rows(b: pa.Table, *, L: int) -> pa.Table:
     hs = []
     for p in b.column("phrase").to_pylist():
         ws = tok.findall(p or "")
-        if len(ws) == L:
+        if ws:
             hs.append(int(np.uint64(_md5_hash64(" ".join(ws))).astype(np.int64)))
     return pa.table(
         {"sh": pa.array(hs, pa.int64()), "doc": pa.array([-1] * len(hs), pa.int64())}
+    )
+
+
+def _multi_len_shingle_rows(
+    b: pa.Table, *, text_col: str, id_col: str, lengths: list[int]
+) -> pa.Table:
+    """Doc side of the distributed membership: distinct whole-token n-gram
+    md5-64 rows for EVERY needed length in ONE tokenize pass per doc
+    (ADVICE r4: the per-length design re-executed the full docs scan —
+    tokenize + shingle — once per distinct phrase length). Same hash, same
+    dedup-per-doc, same ``(sh, doc)`` output as ``_shingle_md5_rows``; the
+    id-type/sign guards mirror its sentinel-protocol contract."""
+    import re
+
+    import numpy as np
+
+    from ..functions.text import TOKEN_RE
+    from ..stages.dedup import _md5_hash64
+
+    id_type = b.schema.field(id_col).type
+    if not pa.types.is_integer(id_type):
+        raise TypeError(
+            f"decontaminate_hashed requires integer doc ids ({id_col!r} is {id_type}): "
+            "the inverted-index sentinel protocol reserves doc=-1"
+        )
+    if b.num_rows and pc.min(b.column(id_col)).as_py() is not None and (
+        pc.min(b.column(id_col)).as_py() < 0
+    ):
+        raise ValueError(
+            f"decontaminate_hashed requires non-negative doc ids ({id_col!r} has "
+            "negatives): doc=-1 is the inverted-index sentinel"
+        )
+    tok = re.compile(TOKEN_RE)
+    ids = b.column(id_col).to_pylist()
+    texts = b.column(text_col).to_pylist()
+    out_sh: list[int] = []
+    out_doc: list[int] = []
+    cache: dict[str, int] = {}
+    for doc, t in zip(ids, texts):
+        words = tok.findall(t or "")
+        seen: set[int] = set()
+        for L in lengths:
+            if len(words) < L:
+                continue
+            for i in range(len(words) - L + 1):
+                s = " ".join(words[i : i + L])
+                h = cache.get(s)
+                if h is None:
+                    h = _md5_hash64(s)
+                    cache[s] = h
+                seen.add(h)
+        out_sh.extend(seen)
+        out_doc.extend([doc] * len(seen))
+    sh = np.asarray(out_sh, dtype=np.uint64).astype(np.int64)  # two's-complement view
+    return pa.table(
+        {"sh": pa.array(sh, pa.int64()), "doc": pa.array(out_doc, pa.int64())}
     )
 
 
@@ -1534,7 +1602,6 @@ def _decontaminate_distributed(
     num_partitions: int | None,
 ) -> ray.data.Dataset:
     from ..context import default_keyed_partitions
-    from ..stages.dedup import _shingle_md5_rows
 
     def _phrase_len_rows(b: pa.Table) -> pa.Table:
         import re
@@ -1560,43 +1627,42 @@ def _decontaminate_distributed(
     )
     if not lengths:
         # no tokenizable phrase → nothing is contaminated (the broadcast
-        # branch's behavior for the same degenerate input)
+        # branch's behavior for the same degenerate input); int64 id for
+        # path-parity with every other branch
         return docs.map_batches(
             lambda b: pa.table(
                 {
-                    "doc_id": b.column(id_col).slice(0, 0),
+                    "doc_id": pc.cast(b.column(id_col).slice(0, 0), pa.int64()),
                     "n_hits": pa.array([], pa.int64()),
                 }
             ),
             batch_size=None,
             batch_format="pyarrow",
         )
-    per_len = []
-    for L in lengths:
-        doc_sh = docs.map_batches(
-            _shingle_md5_rows,
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            fn_kwargs={"text_col": text_col, "id_col": id_col, "ngram": int(L)},
-        )
-        marks = phrases.map_batches(
-            _phrase_mark_rows, batch_size=None, batch_format="pyarrow", fn_kwargs={"L": int(L)}
-        )
-        # ONE keyed shuffle co-locates every row of a hash; membership is a
-        # vectorized sentinel-run scan (the q51 inverted-index pattern) —
-        # no Dataset.join, and duplicate phrase rows dedupe in-block
-        hits = (
-            doc_sh.union(marks)
-            .repartition(num_blocks=n, keys=["sh"])
-            .map_batches(_mark_hits_block, batch_size=None, batch_format="pyarrow")
-        )
-        per_len.append(hits)
-    combined = per_len[0]
-    for extra in per_len[1:]:
-        combined = combined.union(extra)
+    # ONE docs pass shingles every needed length (ADVICE r4: the per-length
+    # loop re-executed the whole docs DAG |lengths| times), one phrases pass
+    # emits every sentinel row, and ONE keyed shuffle co-locates every row
+    # of a hash; membership is a vectorized sentinel-run scan (the q51
+    # inverted-index pattern) — no Dataset.join, and duplicate phrase rows
+    # dedupe in-block. The phrases pipeline still executes twice in total
+    # (bounded length-discovery projection above + the sentinel pass).
+    doc_sh = docs.map_batches(
+        _multi_len_shingle_rows,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "lengths": [int(L) for L in lengths]},
+    )
+    marks = phrases.map_batches(
+        _phrase_mark_rows_all, batch_size=None, batch_format="pyarrow"
+    )
+    hits = (
+        doc_sh.union(marks)
+        .repartition(num_blocks=n, keys=["sh"])
+        .map_batches(_mark_hits_block, batch_size=None, batch_format="pyarrow")
+    )
     out = grouped_agg(
-        combined,
+        hits,
         ["doc"],
         [Agg(out="n_hits", col=None, kind="count_rows")],
         num_partitions=num_partitions,
@@ -1636,12 +1702,15 @@ def decontaminate_hashed(
       once via ``ray.put`` (~16 MB per 2M phrases) and each batch does ONE
       tokenize + hash pass with vectorized searchsorted membership — no
       shuffle, cost independent of |phrases|;
-    - above: per distinct phrase length, hashed doc n-gram rows
-      (``_shingle_md5_rows``) union phrase sentinel rows and co-locate by
-      hash in ONE keyed shuffle; membership is a vectorized sentinel-run
-      scan per block (the q51 inverted-index pattern — no join operator),
-      then a combiner-backed grouped count. Bounded per-partition memory
-      at any scale; duplicate phrase rows dedupe in-block.
+    - above: hashed doc n-gram rows for EVERY needed length in one docs
+      pass (``_multi_len_shingle_rows`` — one tokenize per doc) union one
+      pass of phrase sentinel rows, co-located by hash in ONE keyed
+      shuffle; membership is a vectorized sentinel-run scan per block (the
+      q51 inverted-index pattern — no join operator), then a
+      combiner-backed grouped count. Bounded per-partition memory at any
+      scale; duplicate phrase rows dedupe in-block; the phrases pipeline
+      executes exactly twice (bounded length discovery + sentinels),
+      independent of how many distinct lengths the suite has.
 
     Docs with 0 hits are omitted (same contract as q54). Reference
     analogue: none — training-data extension."""
@@ -1669,11 +1738,12 @@ def decontaminate_hashed(
             )
         plist = [p for p in probe_rows if p]
         if not plist:
-            # empty phrase set → nothing is contaminated
+            # empty phrase set → nothing is contaminated (int64 id for
+            # path-parity)
             return docs.map_batches(
                 lambda b: pa.table(
                     {
-                        "doc_id": b.column(id_col).slice(0, 0),
+                        "doc_id": pc.cast(b.column(id_col).slice(0, 0), pa.int64()),
                         "n_hits": pa.array([], pa.int64()),
                     }
                 ),

@@ -108,6 +108,31 @@ def test_phrase_canonicalization_and_dataset_input():
     assert got == {1: 2, 2: 1, 3: 2}
 
 
+def test_int32_id_corpus_same_schema_on_both_paths():
+    """ADVICE r4: the broadcast branch used to pass the input id type
+    through (int32 stayed int32) while the distributed branch's sentinel
+    protocol always emits int64 — both paths must return the identical
+    schema for any accepted id type."""
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int32()),
+                "text": pa.array(["alpha beta", "gamma"], pa.string()),
+            }
+        )
+    )
+    broad = decontaminate_hashed(docs, ["alpha beta"])
+    dist = decontaminate_hashed(
+        docs, ["alpha beta"], max_broadcast_phrases=0, num_partitions=4
+    )
+    assert broad.schema().base_schema.field("doc_id").type == pa.int64()
+    assert dist.schema().base_schema.field("doc_id").type == pa.int64()
+    assert _as_map(broad) == _as_map(dist) == {1: 1}
+    # degenerate branches keep the same contract
+    empty = decontaminate_hashed(docs, [])
+    assert empty.schema().base_schema.field("doc_id").type == pa.int64()
+
+
 def test_empty_phrases_and_short_docs():
     docs = ray.data.from_arrow(
         pa.table(
