@@ -234,30 +234,37 @@ def asof_join_latest_ts_salted(
                 sort_keys=[(key, "ascending"), ("bucket", "ascending"), ("kind", "ascending")],
             )
         )
+        # Vectorized exclusive segmented running max (r4 verdict item 7 —
+        # replaces the per-row Python walk): MIN is "no right seen yet";
+        # prev[i] holds row i-1's contribution, reset at each key boundary,
+        # and np.maximum.accumulate runs per key segment. int64 throughout —
+        # no float round-trip for timestamps.
         ks = b.column(key).combine_chunks().to_numpy(zero_copy_only=False)
         buckets = b.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
         kinds = b.column("kind").combine_chunks().to_numpy(zero_copy_only=False)
-        maxes = b.column("max_ts").to_pylist()
-        o_key, o_bucket, o_ts = [], [], []
-        run_key, run_max = None, None
-        for i in range(len(ks)):
-            if ks[i] != run_key:
-                run_key, run_max = ks[i], None
-            if kinds[i] == 0:  # left marker: emit best-before if any
-                if run_max is not None:
-                    o_key.append(ks[i])
-                    o_bucket.append(int(buckets[i]))
-                    o_ts.append(run_max)
-            else:  # right summary: advance the running max
-                if maxes[i] is not None and (run_max is None or maxes[i] > run_max):
-                    run_max = maxes[i]
+        ts_min = np.iinfo(np.int64).min
+        mx = (
+            pc.fill_null(b.column("max_ts"), ts_min)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        contrib = np.where(kinds == 1, mx, ts_min)
+        n = len(ks)
+        prev = np.concatenate(([ts_min], contrib[:-1]))
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        prev[starts] = ts_min
+        run = np.empty_like(prev)
+        bounds = np.concatenate((starts, [n]))
+        for s, e in zip(bounds[:-1], bounds[1:]):  # O(#keys), vectorized inner
+            np.maximum.accumulate(prev[s:e], out=run[s:e])
+        keep = (kinds == 0) & (run != ts_min)
         return pa.table(
             {
-                key: pa.array(o_key, pa.int64()),
-                "event_id": pa.array([-1] * len(o_key), pa.int64()),
-                "ts": pa.array(o_ts, pa.int64()).cast(pa.timestamp("us")),
-                "is_left": pa.array([0] * len(o_key), pa.int8()),
-                "bucket": pa.array(o_bucket, pa.int64()),
+                key: pa.array(ks[keep], pa.int64()),
+                "event_id": pa.array(np.full(int(keep.sum()), -1, np.int64), pa.int64()),
+                "ts": pa.array(run[keep], pa.int64()).cast(pa.timestamp("us")),
+                "is_left": pa.array(np.zeros(int(keep.sum()), np.int8), pa.int8()),
+                "bucket": pa.array(buckets[keep], pa.int64()),
             }
         )
 
