@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--no-salt", action="store_true")
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--shards-per-partition", type=int, default=1)
+    ex.add_argument(
+        "--callback-url",
+        default=None,
+        help="POST the job summary JSON here when done (webhook sink, S9); "
+        "delivery failures are recorded, never fatal",
+    )
     args = parser.parse_args(argv)
 
     if not ray.is_initialized():
@@ -110,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
         "manifest_rows": metrics.num_rows,
         "output": args.output,
     }
+    if args.callback_url:
+        # one notification per job, after the manifest commits — the webhook
+        # sink (S9, reference cv_api/main.py:199-220); never fatal
+        from .state.notify import notify_callback, record_delivery
+
+        receipt = notify_callback(args.callback_url, {"status": "succeeded", **summary})
+        summary["callback_delivery"] = receipt
+        record_delivery(args.output, receipt)
     print(json.dumps(summary))
     return 0
 

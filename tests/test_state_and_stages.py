@@ -249,3 +249,112 @@ class TestLanceGate:
 
         with pytest.raises(NotImplementedError, match="lance is not installed"):
             tables.read_docs(str(tmp_path / "corpus.lance"))
+
+
+class TestWebhookSink:
+    """S9 webhook sink (state/notify.py) — loopback HTTP, no real network."""
+
+    @staticmethod
+    def _server(status: int):
+        import http.server
+        import threading
+
+        received: list[dict] = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                received.append(json.loads(body))
+                self.send_response(status)
+                self.end_headers()
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, received
+
+    def test_delivery_ok_posts_payload(self):
+        from ocr_endpoint_project_ray.state.notify import notify_callback
+
+        srv, received = self._server(200)
+        try:
+            receipt = notify_callback(
+                f"http://127.0.0.1:{srv.server_address[1]}/cb",
+                {"status": "succeeded", "rows_out": 7},
+            )
+        finally:
+            srv.shutdown()
+        assert receipt["ok"] is True and receipt["status_code"] == 200
+        assert receipt["error"] is None
+        assert received == [{"status": "succeeded", "rows_out": 7}]
+
+    def test_non_2xx_is_recorded_not_raised(self):
+        from ocr_endpoint_project_ray.state.notify import notify_callback
+
+        srv, _ = self._server(500)
+        try:
+            receipt = notify_callback(
+                f"http://127.0.0.1:{srv.server_address[1]}/cb", {"x": 1}
+            )
+        finally:
+            srv.shutdown()
+        assert receipt["ok"] is False and receipt["status_code"] == 500
+
+    def test_unreachable_endpoint_is_data(self):
+        from ocr_endpoint_project_ray.state.notify import notify_callback
+
+        # a just-closed loopback port refuses connections
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        receipt = notify_callback(f"http://127.0.0.1:{port}/cb", {}, timeout=2.0)
+        assert receipt["ok"] is False and receipt["status_code"] is None
+        assert receipt["error"]
+
+    def test_record_delivery_lands_beside_manifest(self, tmp_path):
+        from ocr_endpoint_project_ray.state.notify import record_delivery
+
+        path = record_delivery(str(tmp_path), {"ok": True, "status_code": 204})
+        assert json.load(open(path))["status_code"] == 204
+        assert "_manifest" in path
+
+    def test_run_cli_notifies_after_manifest(self, tmp_path, capsys):
+        """--callback-url fires once per job with the summary payload and the
+        receipt is persisted in the output's manifest dir."""
+        import pyarrow.parquet as pq
+
+        from ocr_endpoint_project_ray.run import main
+        from ocr_endpoint_project_ray.sources.corpus import synth_spans_batch
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).slice(0, 10)
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        pq.write_table(synth_spans_batch(docs), corpus / "shard-000.parquet")
+        srv, received = self._server(200)
+        try:
+            rc = main(
+                [
+                    "extract",
+                    "--input", str(corpus),
+                    "--output", str(tmp_path / "out"),
+                    "--num-partitions", "2",
+                    "--callback-url", f"http://127.0.0.1:{srv.server_address[1]}/done",
+                ]
+            )
+        finally:
+            srv.shutdown()
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["callback_delivery"]["ok"] is True
+        assert len(received) == 1
+        assert received[0]["status"] == "succeeded"
+        assert received[0]["rows_out"] == summary["rows_out"]
+        saved = json.load(open(tmp_path / "out" / "_manifest" / "notification.json"))
+        assert saved["ok"] is True and saved["status_code"] == 200
