@@ -123,7 +123,14 @@ def x_score_summary(sf_dir: str) -> ray.data.Dataset:
     """Per-stage metric means over error-free rows (≙ A1 + F1). The
     'extracted' stage must score ~0 CER (it matches goldens by construction);
     'raw' is the naive baseline with boilerplate noise."""
-    scores = extraction_scores(sf_dir)
+    return score_summary(extraction_scores(sf_dir))
+
+
+def score_summary(scores: ray.data.Dataset) -> ray.data.Dataset:
+    """The aggregation half of ``x_score_summary``, decoupled so a consumer
+    that already materialized ``extraction_scores`` output (e.g. bench.py's
+    shared snapshot — each query is standalone by contract, so run twice the
+    extraction would otherwise be) can feed it directly."""
 
     def _ok(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_null(b.column("error")))
