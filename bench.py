@@ -165,7 +165,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     # write replaces the count as its consumer) and feeds the summary from
     # it. Library semantics are untouched; standalone x_score_summary still
     # rebuilds its own pipeline.
-    snap = "/tmp/bench_scores_snapshot"
+    snap = f"/tmp/bench_scores_snapshot_{os.getpid()}"  # concurrent-run safe
     shutil.rmtree(snap, ignore_errors=True)
 
     timings: dict[str, float] = {}
@@ -195,6 +195,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # later query's executor (same failure mode as tests/conftest.py).
         del result
         gc.collect()
+    shutil.rmtree(snap, ignore_errors=True)
     return timings
 
 

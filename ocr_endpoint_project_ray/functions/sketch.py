@@ -39,8 +39,10 @@ def _sorted_group_runs(batch: pa.Table, keys: list[str]) -> tuple[pa.Table, np.n
     pandas ``groupby`` round-trips in keyed hot paths): sort the block by
     ``keys`` (nulls group together at the end) and return the sorted block
     plus run-boundary offsets ``[0, b1, ..., n]``. Null-safe: a null key
-    equals a null key (SQL GROUP BY semantics, matching the old pandas
-    ``groupby(dropna=False)``)."""
+    equals a null key, and for float keys NaN equals NaN (SQL GROUP BY /
+    pandas ``groupby(dropna=False)`` semantics — Arrow's ``not_equal`` says
+    NaN≠NaN, which would otherwise split every NaN row into its own
+    group)."""
     n = batch.num_rows
     if n == 0:
         return batch, np.array([0], dtype=np.int64)
@@ -53,6 +55,13 @@ def _sorted_group_runs(batch: pa.Table, keys: list[str]) -> tuple[pa.Table, np.n
         # not_equal is null-poisoned: null≠null → null. A run boundary is a
         # VALUE change (non-null ≠) or a NULLNESS change.
         neq = pc.fill_null(pc.not_equal(hi, lo), False)
+        if pa.types.is_floating(col.type):
+            # NaN is one group: suppress the both-NaN "≠", add a boundary
+            # when NaN-ness flips (the sort keeps NaNs contiguous)
+            hi_nan = pc.fill_null(pc.is_nan(hi), False)
+            lo_nan = pc.fill_null(pc.is_nan(lo), False)
+            neq = pc.and_(neq, pc.invert(pc.and_(hi_nan, lo_nan)))
+            neq = pc.or_(neq, pc.not_equal(hi_nan, lo_nan))
         nulldiff = pc.not_equal(pc.is_null(hi), pc.is_null(lo))
         diff = pc.or_(neq, nulldiff).to_numpy(zero_copy_only=False)
         idx = np.nonzero(diff)[0] + 1

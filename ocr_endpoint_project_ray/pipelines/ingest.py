@@ -153,6 +153,10 @@ def incremental_dedup(
     is size-dispatched (``anti_join_auto`` — broadcast digest set below
     ``max_broadcast_rows``, distributed ``left_anti`` hash join above), so
     nothing materializes beyond the digest set on the broadcast path.
+
+    Contract: NULL content digests as EMPTY content (``md5_hex_batch``
+    hashes ``t or ''``) — a null-text row dedups against empty-text rows,
+    on both sides; SQL twins must write ``md5(coalesce(text, ''))``.
     """
     seen_text = seen_text_col or text_col
 
@@ -220,16 +224,19 @@ def q70_incremental_dedup(sf_dir: str) -> ray.data.Dataset:
 
 
 #: SQL twin of q70 — prior digest set, incoming batch (new shard ∪ re-crawl
-#: under fresh ids), NOT EXISTS on the md5 content digest.
+#: under fresh ids), NOT EXISTS on the md5 content digest. coalesce mirrors
+#: the engine's null-as-empty digest contract (md5(NULL) is NULL in SQL and
+#: NULL never equals anything, which would silently KEEP every null-text
+#: row the engine drops).
 Q70_ORACLE = """
 WITH prior AS (
-  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 < 2),
+  SELECT DISTINCT md5(coalesce(text, '')) AS fp FROM documents WHERE doc_id % 3 < 2),
 incoming AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0)
 SELECT i.doc_id FROM incoming i
-WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.fp = md5(i.text))
+WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.fp = md5(coalesce(i.text, '')))
 """
 
 

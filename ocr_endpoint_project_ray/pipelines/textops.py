@@ -1562,7 +1562,13 @@ def _multi_len_shingle_rows(
                 h = cache.get(s)
                 if h is None:
                     h = _md5_hash64(s)
-                    cache[s] = h
+                    # same admission bound as the broadcast branch's cache:
+                    # an unbounded whole-block multi-length n-gram dict can
+                    # reach GBs on exactly the large blocks this distributed
+                    # path is dispatched for; once full, stop inserting
+                    # (per-doc repeats still dedup via ``seen``)
+                    if len(cache) < 500_000:
+                        cache[s] = h
                 seen.add(h)
         out_sh.extend(seen)
         out_doc.extend([doc] * len(seen))
@@ -1980,7 +1986,16 @@ vecs AS (
 ),
 q AS (SELECT doc_id AS qid, v AS qe FROM vecs WHERE doc_id < 4),
 c AS (SELECT doc_id AS nid, v AS ce FROM vecs WHERE doc_id >= 4),
-s AS (SELECT qid, nid, round(list_cosine_similarity(qe, ce), 9) AS sim
+-- cosine written out with the engine's zero-norm guard (_l2norm maps a
+-- zero norm to 1, scoring a zero vector at sim 0.0; DuckDB's
+-- list_cosine_similarity returns -1.0 there, which would rank an
+-- empty-text doc strictly below orthogonal neighbors)
+s AS (SELECT qid, nid,
+             round(list_dot_product(qe, ce) /
+                   (CASE WHEN sqrt(list_dot_product(qe, qe)) = 0 THEN 1
+                         ELSE sqrt(list_dot_product(qe, qe)) END *
+                    CASE WHEN sqrt(list_dot_product(ce, ce)) = 0 THEN 1
+                         ELSE sqrt(list_dot_product(ce, ce)) END), 9) AS sim
       FROM q CROSS JOIN c)
 SELECT qid AS query_id, nid AS neighbor_id, nn_rank FROM (
   SELECT qid, nid,

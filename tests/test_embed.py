@@ -95,3 +95,38 @@ def test_q68_rounding_boundary_clearance():
             off = np.abs(sims - np.round(sims, 9))  # ≤ 0.5e-9, near 0.5e-9 = near boundary
             clearances.append((0.5e-9 - off).min())
         assert min(clearances) > 5e-15, sf  # boundary clearance ≥ 5× noise bound
+
+
+def test_q68_empty_text_doc_oracle_parity(tmp_path):
+    """A whitespace-only corpus doc embeds as the zero vector; the engine
+    scores its cosine 0.0 (zero-norm guard) and the SQL twin must agree —
+    DuckDB's list_cosine_similarity would say -1.0 and rank it strictly
+    below orthogonal neighbors (review finding, round 5)."""
+    import duckdb
+
+    from ocr_endpoint_project_ray.pipelines.textops import Q68_ORACLE, q68_embed_ann
+
+    # corpus doc 5 is token-free (zero vector); docs 6/7 are orthogonal to
+    # the query (distinct md5 buckets), so they tie with doc 5 at sim 0.0 —
+    # the engine's nid-asc tie-break puts 5 BEFORE 6/7, while an unguarded
+    # cosine (-1.0 for the zero vector) would rank 5 strictly last
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "text": ["aa", "aa", "aa", "aa", "aa aa", "   \n\t  ", "bb", "cc"],
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = pa.Table.from_pylist(q68_embed_ann(str(tmp_path)).take_all())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(Q68_ORACLE).arrow()
+    key = ["query_id", "nn_rank"]
+    g = got.to_pandas().sort_values(key, ignore_index=True)
+    e = exp.to_pandas().sort_values(key, ignore_index=True)
+    assert g[["query_id", "neighbor_id", "nn_rank"]].equals(
+        e[["query_id", "neighbor_id", "nn_rank"]]
+    )

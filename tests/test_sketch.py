@@ -203,3 +203,48 @@ class TestExactQuantilesTwoPass:
         )
         got = {r["g"]: r["p50"] for r in out.to_pylist()}
         assert got == {"x": 7.0, "y": None, "z": 2.0}
+
+
+class TestSortedGroupRuns:
+    """The vectorized group-split kernel must match SQL GROUP BY / pandas
+    groupby(dropna=False) on degenerate keys: nulls are one group, float
+    NaNs are one group (Arrow's not_equal says NaN≠NaN, which un-fixed
+    split every NaN row into its own run)."""
+
+    def test_nan_and_null_float_keys_group_together(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_endpoint_project_ray.functions.sketch import _sorted_group_runs
+
+        t = pa.table(
+            {
+                "k": pa.array(
+                    [float("nan"), 1.0, float("nan"), None, 1.0, None, 2.0],
+                    pa.float64(),
+                ),
+                "v": pa.array(range(7), pa.int64()),
+            }
+        )
+        b, bounds = _sorted_group_runs(t, ["k"])
+        sizes = np.diff(bounds)
+        # groups: 1.0 ×2, 2.0 ×1, NaN ×2, null ×2 — exactly four runs
+        assert sorted(sizes.tolist()) == [1, 2, 2, 2]
+        keys = [b.column("k")[int(s)].as_py() for s in bounds[:-1]]
+        n_nan = sum(1 for x in keys if x is not None and x != x)
+        assert n_nan == 1 and keys.count(None) == 1
+
+    def test_string_and_int_keys_unaffected(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_endpoint_project_ray.functions.sketch import _sorted_group_runs
+
+        t = pa.table(
+            {
+                "a": pa.array(["x", None, "x", "y", None], pa.string()),
+                "b": pa.array([1, 2, 1, 1, 2], pa.int64()),
+            }
+        )
+        _, bounds = _sorted_group_runs(t, ["a", "b"])
+        assert sorted(np.diff(bounds).tolist()) == [1, 2, 2]
