@@ -192,6 +192,10 @@ def export_tables(
     with open(md_path, "w") as f:
         f.write(render_markdown_report(title, sorted(tables.items())))
     written["report.md"] = md_path
+    html_path = os.path.join(out_dir, "report.html")
+    with open(html_path, "w") as f:
+        f.write(render_html_report(title, sorted(tables.items())))
+    written["report.html"] = html_path
     written.update(export_charts(tables, os.path.join(out_dir, "charts")))
     return written
 
@@ -250,6 +254,264 @@ def export_charts(
         fig.write_html(path, include_plotlyjs="cdn", full_html=True)
         written[f"charts/{name}.html"] = path
     return written
+
+
+# --- self-contained HTML report: inline SVG charts, zero dependencies ------
+#
+# The reference ships two HTML surfaces: plotly chart files
+# (generate_decision_report.py:222-226 write_chart, :228-310 build_charts)
+# and a styled HTML wrapper around the markdown report
+# (generate_decision_report.py:619-683 build_report_html). `export_charts`
+# above mirrors the plotly path when plotly exists; this section replaces the
+# wrapper with a *self-contained* report — one file, charts inlined as SVG —
+# that renders in any browser with no plotly / CDN / network, which is the
+# only chart path that can actually run (and be tested) in an offline
+# cluster. Chart design follows the small-multiples rule: one panel per
+# metric with its own honest y-scale (never several differently-scaled
+# metrics sharing one axis), entities colored in a fixed categorical order
+# (CVD-validated palette), identity carried by a legend + per-bar tooltip,
+# and the full data table under every chart so nothing is gated on color.
+
+# 8 CVD-validated categorical slots (light, dark) — assigned to entities in
+# first-seen order, never cycled; entities past 8 fold into the table.
+_SERIES_COLORS: list[tuple[str, str]] = [
+    ("#2a78d6", "#3987e5"),
+    ("#eb6834", "#d95926"),
+    ("#1baf7a", "#199e70"),
+    ("#eda100", "#c98500"),
+    ("#e87ba4", "#d55181"),
+    ("#008300", "#008300"),
+    ("#4a3aa7", "#9085e9"),
+    ("#e34948", "#e66767"),
+]
+_MAX_PLOTTED_ENTITIES = 8
+
+_HTML_STYLE = """
+  body { font-family: system-ui, "Segoe UI", sans-serif; max-width: 1100px;
+         margin: 32px auto; padding: 0 18px 40px; line-height: 1.45; }
+  .viz-root { color-scheme: light;
+    --surface-1: #fcfcfb; --card: #ffffff; --border: #e5e7eb;
+    --text-primary: #0b0b0b; --text-secondary: #52514e; --grid: #e7e6e3; }
+  @media (prefers-color-scheme: dark) {
+    .viz-root { color-scheme: dark;
+      --surface-1: #1a1a19; --card: #232322; --border: #3a3a38;
+      --text-primary: #ffffff; --text-secondary: #c3c2b7; --grid: #3a3a38; }
+  }
+  .viz-root { background: var(--surface-1); color: var(--text-primary); }
+  .card { background: var(--card); border: 1px solid var(--border);
+          border-radius: 10px; padding: 18px; margin-bottom: 16px; }
+  h1, h2 { color: var(--text-primary); }
+  table.data { border-collapse: collapse; font-size: 13px; margin-top: 10px; }
+  table.data th, table.data td { border: 1px solid var(--border);
+          padding: 4px 9px; text-align: right; }
+  table.data th { color: var(--text-secondary); font-weight: 600; }
+  table.data td:first-child, table.data th:first-child { text-align: left; }
+  .panels { display: flex; flex-wrap: wrap; gap: 14px; align-items: flex-end; }
+  .legend { font-size: 12px; color: var(--text-secondary); margin: 6px 0; }
+  .legend span.key { display: inline-block; width: 10px; height: 10px;
+          border-radius: 2px; margin: 0 4px 0 12px; }
+  .note { font-size: 12px; color: var(--text-secondary); }
+"""
+
+
+def _esc(v: object) -> str:
+    import html
+
+    return html.escape(str(v), quote=True)
+
+
+def _nice_ticks(vmax: float, n: int = 4) -> list[float]:
+    """~n clean axis ticks covering [0, vmax] (steps 1/2/2.5/5 x 10^k)."""
+    import math
+
+    if vmax <= 0:
+        return [0.0, 1.0]
+    raw = vmax / n
+    mag = 10.0 ** math.floor(math.log10(raw))
+    step = next(s * mag for s in (1, 2, 2.5, 5, 10) if s * mag >= raw)
+    k = math.ceil(vmax / step)
+    return [round(i * step, 10) for i in range(k + 1)]
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return f"{int(v):,}"
+    return f"{v:,.4g}"
+
+
+def _bar_path(x: float, w: float, y_base: float, y_end: float) -> str:
+    """Column with a 4px-rounded data end and a square baseline end.
+
+    ``y_end < y_base`` draws upward (positive value, rounded top);
+    ``y_end > y_base`` draws downward (negative value, rounded bottom)."""
+    r = min(4.0, w / 2.0, abs(y_end - y_base) / 2.0)
+    if y_end <= y_base:  # grows up
+        return (
+            f"M{x:.1f},{y_base:.1f} V{y_end + r:.1f} "
+            f"Q{x:.1f},{y_end:.1f} {x + r:.1f},{y_end:.1f} H{x + w - r:.1f} "
+            f"Q{x + w:.1f},{y_end:.1f} {x + w:.1f},{y_end + r:.1f} "
+            f"V{y_base:.1f} Z"
+        )
+    return (
+        f"M{x:.1f},{y_base:.1f} V{y_end - r:.1f} "
+        f"Q{x:.1f},{y_end:.1f} {x + r:.1f},{y_end:.1f} H{x + w - r:.1f} "
+        f"Q{x + w:.1f},{y_end:.1f} {x + w:.1f},{y_end - r:.1f} "
+        f"V{y_base:.1f} Z"
+    )
+
+
+def _svg_metric_panel(
+    metric: str, entities: list[str], values: list[float], slots: list[int]
+) -> str:
+    """One small-multiple column panel: one metric, its own 0-anchored
+    y-scale, one column per entity in palette order, hairline gridlines,
+    value on each cap, a native ``<title>`` tooltip per column."""
+    vals = [0.0 if v is None else float(v) for v in values]
+    finite = [v for v in vals if v == v and abs(v) != float("inf")]
+    vmax = max([v for v in finite if v > 0], default=0.0)
+    vmin = min([v for v in finite if v < 0], default=0.0)
+    ticks = _nice_ticks(max(vmax, -vmin) or 1.0)
+    top = ticks[-1]
+    bar_w, gap, pad_l, pad_r = 22.0, 10.0, 46.0, 8.0
+    plot_h, title_h, foot_h = 120.0, 20.0, 14.0
+    n = len(entities)
+    width = pad_l + n * bar_w + (n - 1) * gap + pad_r
+    height = title_h + plot_h + foot_h
+    # y() maps a value into plot coords; negative space only if vmin < 0.
+    span = top + (top if vmin < 0 else 0.0)
+    scale = plot_h / span if span else 1.0
+    y0 = title_h + (top * scale)  # zero line
+
+    def y(v: float) -> float:
+        return y0 - v * scale
+
+    parts = [
+        f'<svg role="img" width="{width:.0f}" height="{height:.0f}" '
+        f'viewBox="0 0 {width:.0f} {height:.0f}" '
+        f'aria-label="{_esc(metric)}">',
+        f'<text x="{pad_l}" y="12" font-size="12" fill="var(--text-primary)" '
+        f'font-weight="600">{_esc(metric)}</text>',
+    ]
+    grid_ticks = ticks if vmin >= 0 else [-t for t in ticks[:0:-1]] + ticks
+    for t in grid_ticks:
+        gy = y(t)
+        parts.append(
+            f'<line x1="{pad_l}" y1="{gy:.1f}" x2="{width - pad_r:.1f}" '
+            f'y2="{gy:.1f}" stroke="var(--grid)" stroke-width="1"/>'
+        )
+        parts.append(
+            f'<text x="{pad_l - 5}" y="{gy + 3.5:.1f}" font-size="9" '
+            f'text-anchor="end" fill="var(--text-secondary)">'
+            f"{_fmt_num(t)}</text>"
+        )
+    for i, (ent, v) in enumerate(zip(entities, vals)):
+        if v != v or abs(v) == float("inf"):  # NaN/inf: tooltip-only gap
+            continue
+        x = pad_l + i * (bar_w + gap)
+        light, dark = _SERIES_COLORS[slots[i] % len(_SERIES_COLORS)]
+        ve = min(max(v, -top), top)
+        parts.append(
+            f'<g><path d="{_bar_path(x, bar_w, y0, y(ve))}" '
+            f'fill="{light}" style="fill:light-dark({light},{dark})">'
+            f"</path><title>{_esc(ent)}: {_fmt_num(v)}</title>"
+        )
+        ly = y(ve) - 3 if v >= 0 else y(ve) + 9
+        parts.append(
+            f'<text x="{x + bar_w / 2:.1f}" y="{ly:.1f}" font-size="9" '
+            f'text-anchor="middle" fill="var(--text-secondary)">'
+            f"{_fmt_num(v)}</text></g>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _numeric_cols(table: pa.Table) -> list[str]:
+    return [
+        f.name
+        for f in table.schema
+        if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+    ]
+
+
+def _entity_col(table: pa.Table, entity_col: str | None) -> str | None:
+    if entity_col is not None and entity_col in table.column_names:
+        return entity_col
+    for f in table.schema:
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            return f.name
+    return None
+
+
+def render_html_report(
+    title: str,
+    sections: list[tuple[str, pa.Table]],
+    *,
+    entity_col: str | None = None,
+    float_fmt: str = "{:.4f}",
+) -> str:
+    """Self-contained HTML report (≙ S8 HTML surface,
+    generate_decision_report.py:619-683 build_report_html + :228-310
+    build_charts): one card per section with inline-SVG small-multiple
+    column panels (one per numeric column, entities colored in fixed
+    palette order) above the full data table. Driver-side over small
+    aggregates, like the markdown sink. Unlike the reference's wrapper it
+    needs no plotly, no CDN, and no companion chart files."""
+    body = [
+        '<div class="card"><h1>%s</h1><p class="note">Self-contained '
+        "report: charts are inline SVG, no external assets.</p></div>" % _esc(title)
+    ]
+    for heading, table in sections:
+        body.append(f'<div class="card"><h2>{_esc(heading)}</h2>')
+        ecol = _entity_col(table, entity_col)
+        ncols = _numeric_cols(table)
+        if ecol is not None and ncols and table.num_rows:
+            entities = [str(v) for v in table.column(ecol).to_pylist()]
+            plotted = entities[:_MAX_PLOTTED_ENTITIES]
+            slots = list(range(len(plotted)))
+            if len(plotted) > 1:
+                keys = "".join(
+                    f'<span class="key" style="background:{_SERIES_COLORS[s][0]};'
+                    f"background:light-dark({_SERIES_COLORS[s][0]},"
+                    f'{_SERIES_COLORS[s][1]})"></span>{_esc(e)}'
+                    for s, e in zip(slots, plotted)
+                )
+                body.append(f'<div class="legend">{keys}</div>')
+            panels = [
+                _svg_metric_panel(
+                    c,
+                    plotted,
+                    table.column(c).to_pylist()[: len(plotted)],
+                    slots,
+                )
+                for c in ncols
+            ]
+            body.append(f'<div class="panels">{"".join(panels)}</div>')
+            if len(entities) > len(plotted):
+                body.append(
+                    f'<p class="note">Charting the first {len(plotted)} of '
+                    f"{len(entities)} rows; the table below has all rows.</p>"
+                )
+        cols = table.column_names
+        rows_html = []
+        for row in table.to_pylist():
+            cells = [
+                _esc(float_fmt.format(row[c]) if isinstance(row[c], float) else row[c])
+                for c in cols
+            ]
+            rows_html.append("<tr><td>" + "</td><td>".join(cells) + "</td></tr>")
+        body.append(
+            '<table class="data"><thead><tr><th>'
+            + "</th><th>".join(_esc(c) for c in cols)
+            + "</th></tr></thead><tbody>"
+            + "".join(rows_html)
+            + "</tbody></table></div>"
+        )
+    return (
+        "<!doctype html>\n<html><head><meta charset='utf-8'/>"
+        '<meta name="viewport" content="width=device-width, initial-scale=1"/>'
+        f"<title>{_esc(title)}</title><style>{_HTML_STYLE}</style></head>"
+        f'<body class="viz-root">{"".join(body)}</body></html>\n'
+    )
 
 
 def recommend_best(

@@ -137,6 +137,91 @@ class TestReports:
         assert "# Report" in md and "| model | cer |" in md and "1.5000" in md
 
 
+class TestHtmlReport:
+    """Self-contained HTML report sink (inline SVG, no plotly/CDN)."""
+
+    def _table(self, n=2):
+        return pa.table(
+            {
+                "model": pa.array([f"m{i}" for i in range(n)], pa.string()),
+                "cer": pa.array([float(i) + 0.5 for i in range(n)], pa.float64()),
+                "runs": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+
+    def test_panels_legend_table(self):
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        html = render_html_report("R", [("scores", self._table(3))])
+        # one small-multiple panel per numeric column, never one mixed axis
+        assert html.count("<svg") == 2
+        # 3 entities x 2 metrics = 6 columns, each with a native tooltip
+        assert html.count("<title>m") == 6
+        # fixed palette order: first two categorical slots, light-dark pairs
+        assert html.index("#2a78d6") < html.index("#eb6834")
+        assert "light-dark(#2a78d6,#3987e5)" in html
+        # >=2 series -> legend present; full data table always present
+        assert html.count('class="legend"') == 1
+        assert html.count("<tr><td>") == 3 and "0.5000" in html
+        # dark mode is selected, not an automatic flip
+        assert "prefers-color-scheme: dark" in html
+
+    def test_single_series_no_legend_and_escaping(self):
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        t = pa.table(
+            {
+                "model": pa.array(["<b>&x"], pa.string()),
+                "cer": pa.array([1.0], pa.float64()),
+            }
+        )
+        html = render_html_report("T&<", [("s", t)])
+        assert 'class="legend"' not in html  # one series: title carries identity
+        assert "&lt;b&gt;&amp;x" in html and "<b>&x" not in html
+
+    def test_entity_cap_folds_to_table(self):
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        html = render_html_report("R", [("big", self._table(11))])
+        # charts cap at 8 fixed slots (never cycled); table keeps all rows
+        assert html.count("<title>m") == 8 * 2
+        assert "first 8 of" in html and html.count("<tr><td>") == 11
+
+    def test_negative_values_draw_below_zero_line(self):
+        import re
+
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "b"], pa.string()),
+                "delta": pa.array([-3.5, 7.25], pa.float64()),
+            }
+        )
+        html = render_html_report("R", [("d", t)])
+        bars = re.findall(r'd="M[\d.]+,([\d.]+) V([-\d.]+)', html)
+        (b0, v0), (b1, v1) = [(float(a), float(b)) for a, b in bars]
+        assert v0 > b0  # negative bar extends downward from the zero line
+        assert v1 < b1  # positive bar extends upward
+        assert "nan" not in html
+
+    def test_no_entity_or_numeric_column_table_only(self):
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        nums_only = pa.table({"x": pa.array([1.0], pa.float64())})
+        strs_only = pa.table({"s": pa.array(["a"], pa.string())})
+        html = render_html_report("R", [("n", nums_only), ("s", strs_only)])
+        assert "<svg" not in html and html.count("<table") == 2
+
+    def test_export_tables_writes_html(self, tmp_path):
+        from ocr_endpoint_project_ray.pipelines.reports import export_tables
+
+        written = export_tables({"scores": self._table(2)}, str(tmp_path))
+        assert "report.html" in written
+        content = open(written["report.html"]).read()
+        assert content.count("<svg") == 2 and "scores" in content
+
+
 class TestCsvSource:
     def test_nonempty_filter(self, tmp_path):
         p = tmp_path / "metadata.csv"
