@@ -366,7 +366,7 @@ def _svg_metric_panel(
     """One small-multiple column panel: one metric, its own 0-anchored
     y-scale, one column per entity in palette order, hairline gridlines,
     value on each cap, a native ``<title>`` tooltip per column."""
-    vals = [0.0 if v is None else float(v) for v in values]
+    vals = [float("nan") if v is None else float(v) for v in values]
     finite = [v for v in vals if v == v and abs(v) != float("inf")]
     vmax = max([v for v in finite if v > 0], default=0.0)
     vmin = min([v for v in finite if v < 0], default=0.0)
