@@ -229,15 +229,13 @@ def export_charts(
     written: dict[str, str] = {}
     os.makedirs(charts_dir, exist_ok=True)
     for name, table in tables.items():
-        df = table.to_pandas()
-        if entity_col is not None and entity_col in df.columns:
-            ecol = entity_col
-        else:
-            non_num = [c for c in df.columns if df[c].dtype == object]
-            ecol = non_num[0] if non_num else None
-        value_cols = [c for c in df.columns if c != ecol and df[c].dtype.kind in "if"]
+        # same column-selection rules as render_html_report — the two S8
+        # chart sinks must agree on what is an entity / metric column
+        ecol = _entity_col(table, entity_col)
+        value_cols = _numeric_cols(table)
         if ecol is None or not value_cols:
             continue
+        df = table.to_pandas()
         melted = df.melt(
             id_vars=[ecol], value_vars=value_cols, var_name="metric", value_name="value"
         )
@@ -320,17 +318,14 @@ def _esc(v: object) -> str:
     return html.escape(str(v), quote=True)
 
 
-def _nice_ticks(vmax: float, n: int = 4) -> list[float]:
-    """~n clean axis ticks covering [0, vmax] (steps 1/2/2.5/5 x 10^k)."""
+def _nice_step(raw: float) -> float:
+    """Clean axis step (1/2/5 x 10^k) nearest raw (Heckbert rounding)."""
     import math
 
-    if vmax <= 0:
-        return [0.0, 1.0]
-    raw = vmax / n
     mag = 10.0 ** math.floor(math.log10(raw))
-    step = next(s * mag for s in (1, 2, 2.5, 5, 10) if s * mag >= raw)
-    k = math.ceil(vmax / step)
-    return [round(i * step, 10) for i in range(k + 1)]
+    f = raw / mag
+    nice = 1.0 if f < 1.5 else 2.0 if f < 3.0 else 5.0 if f < 7.0 else 10.0
+    return nice * mag
 
 
 def _fmt_num(v: float) -> str:
@@ -363,23 +358,29 @@ def _bar_path(x: float, w: float, y_base: float, y_end: float) -> str:
 def _svg_metric_panel(
     metric: str, entities: list[str], values: list[float], slots: list[int]
 ) -> str:
-    """One small-multiple column panel: one metric, its own 0-anchored
+    """One small-multiple column panel: one metric, its own zero-anchored
     y-scale, one column per entity in palette order, hairline gridlines,
     value on each cap, a native ``<title>`` tooltip per column."""
+    import math
+
     vals = [float("nan") if v is None else float(v) for v in values]
     finite = [v for v in vals if v == v and abs(v) != float("inf")]
     vmax = max([v for v in finite if v > 0], default=0.0)
     vmin = min([v for v in finite if v < 0], default=0.0)
-    ticks = _nice_ticks(max(vmax, -vmin) or 1.0)
-    top = ticks[-1]
+    # Asymmetric honest scale: the axis covers [floor(vmin), ceil(vmax)] in
+    # clean steps — a tiny negative does NOT mirror the whole positive range
+    # (that would halve the resolution of every positive column).
+    step = _nice_step(((vmax - vmin) or 1.0) / 4)
+    top = math.ceil(round(vmax / step, 9)) * step if vmax > 0 else 0.0
+    bottom = math.floor(round(vmin / step, 9)) * step if vmin < 0 else 0.0
+    if top == bottom:
+        top = step
     bar_w, gap, pad_l, pad_r = 22.0, 10.0, 46.0, 8.0
     plot_h, title_h, foot_h = 120.0, 20.0, 14.0
     n = len(entities)
     width = pad_l + n * bar_w + (n - 1) * gap + pad_r
     height = title_h + plot_h + foot_h
-    # y() maps a value into plot coords; negative space only if vmin < 0.
-    span = top + (top if vmin < 0 else 0.0)
-    scale = plot_h / span if span else 1.0
+    scale = plot_h / (top - bottom)
     y0 = title_h + (top * scale)  # zero line
 
     def y(v: float) -> float:
@@ -392,7 +393,8 @@ def _svg_metric_panel(
         f'<text x="{pad_l}" y="12" font-size="12" fill="var(--text-primary)" '
         f'font-weight="600">{_esc(metric)}</text>',
     ]
-    grid_ticks = ticks if vmin >= 0 else [-t for t in ticks[:0:-1]] + ticks
+    lo, hi = round(bottom / step), round(top / step)
+    grid_ticks = [round(i * step, 10) for i in range(int(lo), int(hi) + 1)]
     for t in grid_ticks:
         gy = y(t)
         parts.append(
@@ -405,11 +407,18 @@ def _svg_metric_panel(
             f"{_fmt_num(t)}</text>"
         )
     for i, (ent, v) in enumerate(zip(entities, vals)):
-        if v != v or abs(v) == float("inf"):  # NaN/inf: tooltip-only gap
-            continue
         x = pad_l + i * (bar_w + gap)
+        if v != v or abs(v) == float("inf"):
+            # null/NaN/inf: a visual gap, but hover still explains it —
+            # a transparent hit area distinguishes "no data" from "zero"
+            parts.append(
+                f'<rect x="{x:.1f}" y="{title_h}" width="{bar_w}" '
+                f'height="{plot_h}" fill="transparent">'
+                f"<title>{_esc(ent)}: no data</title></rect>"
+            )
+            continue
         light, dark = _SERIES_COLORS[slots[i] % len(_SERIES_COLORS)]
-        ve = min(max(v, -top), top)
+        ve = min(max(v, bottom), top)
         parts.append(
             f'<g><path d="{_bar_path(x, bar_w, y0, y(ve))}" '
             f'fill="{light}" style="fill:light-dark({light},{dark})">'
@@ -460,36 +469,54 @@ def render_html_report(
         '<div class="card"><h1>%s</h1><p class="note">Self-contained '
         "report: charts are inline SVG, no external assets.</p></div>" % _esc(title)
     ]
+    # Color follows the ENTITY across the whole report, never its row rank:
+    # slots are assigned report-globally in first-seen order, so a table
+    # sorted one way in one section and another way in the next keeps every
+    # entity its color. Entities past the 8 validated slots are table-only.
+    slot_of: dict[str, int] = {}
+    for _, table in sections:
+        ecol = _entity_col(table, entity_col)
+        if ecol is None or not _numeric_cols(table):
+            continue
+        for v in table.column(ecol).to_pylist():
+            e = str(v)
+            if e not in slot_of and len(slot_of) < _MAX_PLOTTED_ENTITIES:
+                slot_of[e] = len(slot_of)
     for heading, table in sections:
         body.append(f'<div class="card"><h2>{_esc(heading)}</h2>')
         ecol = _entity_col(table, entity_col)
         ncols = _numeric_cols(table)
         if ecol is not None and ncols and table.num_rows:
             entities = [str(v) for v in table.column(ecol).to_pylist()]
-            plotted = entities[:_MAX_PLOTTED_ENTITIES]
-            slots = list(range(len(plotted)))
+            idx = [i for i, e in enumerate(entities) if e in slot_of]
+            plotted = [entities[i] for i in idx]
+            slots = [slot_of[e] for e in plotted]
             if len(plotted) > 1:
+                seen: set[int] = set()
                 keys = "".join(
                     f'<span class="key" style="background:{_SERIES_COLORS[s][0]};'
                     f"background:light-dark({_SERIES_COLORS[s][0]},"
                     f'{_SERIES_COLORS[s][1]})"></span>{_esc(e)}'
                     for s, e in zip(slots, plotted)
+                    if not (s in seen or seen.add(s))
                 )
                 body.append(f'<div class="legend">{keys}</div>')
-            panels = [
-                _svg_metric_panel(
-                    c,
-                    plotted,
-                    table.column(c).to_pylist()[: len(plotted)],
-                    slots,
-                )
-                for c in ncols
-            ]
-            body.append(f'<div class="panels">{"".join(panels)}</div>')
+            if plotted:
+                panels = [
+                    _svg_metric_panel(
+                        c,
+                        plotted,
+                        [table.column(c).to_pylist()[i] for i in idx],
+                        slots,
+                    )
+                    for c in ncols
+                ]
+                body.append(f'<div class="panels">{"".join(panels)}</div>')
             if len(entities) > len(plotted):
                 body.append(
-                    f'<p class="note">Charting the first {len(plotted)} of '
-                    f"{len(entities)} rows; the table below has all rows.</p>"
+                    f'<p class="note">Charting {len(plotted)} of '
+                    f"{len(entities)} rows ({_MAX_PLOTTED_ENTITIES}-color "
+                    "palette limit); the table below has all rows.</p>"
                 )
         cols = table.column_names
         rows_html = []

@@ -84,6 +84,6 @@ class TestExport:
     def test_export_sinks(self, tmp_path):
         t = pa.table({"model": pa.array(["m1", "m2"]), "cer": pa.array([1.0, 2.0])})
         written = export_tables({"summary": t}, str(tmp_path / "out"))
-        assert set(written) == {"summary.csv", "summary.json", "report.md"}
+        assert set(written) == {"summary.csv", "summary.json", "report.md", "report.html"}
         assert (tmp_path / "out" / "summary.csv").read_text().startswith('"model"')
         assert "| model | cer |" in (tmp_path / "out" / "report.md").read_text()

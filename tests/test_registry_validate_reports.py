@@ -185,7 +185,49 @@ class TestHtmlReport:
         html = render_html_report("R", [("big", self._table(11))])
         # charts cap at 8 fixed slots (never cycled); table keeps all rows
         assert html.count("<title>m") == 8 * 2
-        assert "first 8 of" in html and html.count("<tr><td>") == 11
+        assert "Charting 8 of 11 rows" in html and html.count("<tr><td>") == 11
+
+    def test_color_follows_entity_across_sections(self):
+        import re
+
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        a = pa.table(
+            {"model": pa.array(["m1", "m2"]), "cer": pa.array([1.0, 2.0])}
+        )
+        b = pa.table(  # same entities, reversed row order
+            {"model": pa.array(["m2", "m1"]), "wer": pa.array([3.0, 4.0])}
+        )
+        html = render_html_report("R", [("by_cer", a), ("by_wer", b)])
+        # m1 keeps slot 1 (blue) and m2 slot 2 (orange) in BOTH sections:
+        # each bar group pairs fill color with its tooltip entity
+        pairs = re.findall(r'fill="(#\w+)"[^>]*></path><title>(m\d)', html)
+        assert set(pairs) == {("#2a78d6", "m1"), ("#eb6834", "m2")}, pairs
+
+    def test_asymmetric_axis_small_negative(self):
+        import re
+
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "b", "c"]),
+                "v": pa.array([100.0, 98.0, -0.5]),
+            }
+        )
+        html = render_html_report("R", [("s", t)])
+        labels = re.findall(r'text-anchor="end"[^>]*>([-\d,.]+)</text>', html)
+        lo = min(float(x.replace(",", "")) for x in labels)
+        # axis bottom hugs the data (one step below 0), never mirrors +100
+        assert -30 <= lo < 0, labels
+
+    def test_null_value_has_no_data_tooltip(self):
+        from ocr_endpoint_project_ray.pipelines.reports import render_html_report
+
+        t = pa.table({"k": pa.array(["a", "b"]), "m": pa.array([None, 2.0])})
+        html = render_html_report("R", [("s", t)])
+        assert html.count("<path d=") == 1  # null is a gap, not a zero bar
+        assert "<title>a: no data</title>" in html  # hover explains the gap
 
     def test_negative_values_draw_below_zero_line(self):
         import re
