@@ -232,7 +232,7 @@ def export_charts(
         # same column-selection rules as render_html_report — the two S8
         # chart sinks must agree on what is an entity / metric column
         ecol = _entity_col(table, entity_col)
-        value_cols = _numeric_cols(table)
+        value_cols = [c for c in _numeric_cols(table) if c != ecol]
         if ecol is None or not value_cols:
             continue
         df = table.to_pandas()
@@ -476,7 +476,7 @@ def render_html_report(
     slot_of: dict[str, int] = {}
     for _, table in sections:
         ecol = _entity_col(table, entity_col)
-        if ecol is None or not _numeric_cols(table):
+        if ecol is None or not any(c != ecol for c in _numeric_cols(table)):
             continue
         for v in table.column(ecol).to_pylist():
             e = str(v)
@@ -485,7 +485,7 @@ def render_html_report(
     for heading, table in sections:
         body.append(f'<div class="card"><h2>{_esc(heading)}</h2>')
         ecol = _entity_col(table, entity_col)
-        ncols = _numeric_cols(table)
+        ncols = [c for c in _numeric_cols(table) if c != ecol]
         if ecol is not None and ncols and table.num_rows:
             entities = [str(v) for v in table.column(ecol).to_pylist()]
             idx = [i for i, e in enumerate(entities) if e in slot_of]

@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
         help="POST the job summary JSON here when done (webhook sink, S9); "
         "delivery failures are recorded, never fatal",
     )
+    ex.add_argument(
+        "--report",
+        action="store_true",
+        help="write <output>/report.html: job summary + per-partition "
+        "manifest metrics as a self-contained inline-SVG report "
+        "(the reference's exports -> decision-report step)",
+    )
     args = parser.parse_args(argv)
 
     if not ray.is_initialized():
@@ -116,6 +123,24 @@ def main(argv: list[str] | None = None) -> int:
         "manifest_rows": metrics.num_rows,
         "output": args.output,
     }
+    if args.report:
+        # per-partition lineage rendered for operators: wall/rows per
+        # partition is where shuffle skew shows up first (≙ the reference's
+        # exports -> generate_decision_report.py step, run on job state)
+        from .pipelines.reports import render_html_report
+
+        report_path = os.path.join(args.output, "report.html")
+        title = (
+            f"Extraction job: {summary['partitions']} partitions, "
+            f"{summary['rows_out']} rows, {summary['wall_sec']}s"
+        )
+        with open(report_path, "w") as f:
+            f.write(
+                render_html_report(
+                    title, [("partitions", metrics)], entity_col="partition"
+                )
+            )
+        summary["report"] = report_path
     if args.callback_url:
         # one notification per job, after the manifest commits — the webhook
         # sink (S9, reference cv_api/main.py:199-220); never fatal

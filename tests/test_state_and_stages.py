@@ -358,3 +358,34 @@ class TestWebhookSink:
         assert received[0]["rows_out"] == summary["rows_out"]
         saved = json.load(open(tmp_path / "out" / "_manifest" / "notification.json"))
         assert saved["ok"] is True and saved["status_code"] == 200
+
+    def test_run_cli_report_renders_partition_lineage(self, tmp_path, capsys):
+        """--report writes <output>/report.html with one chart column per
+        manifest partition (wall/rows skew is the operator's first check)."""
+        import pyarrow.parquet as pq
+
+        from ocr_endpoint_project_ray.run import main
+        from ocr_endpoint_project_ray.sources.corpus import synth_spans_batch
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).slice(0, 10)
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        pq.write_table(synth_spans_batch(docs), corpus / "shard-000.parquet")
+        rc = main(
+            [
+                "extract",
+                "--input", str(corpus),
+                "--output", str(tmp_path / "out"),
+                "--num-partitions", "2",
+                "--report",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        html = open(summary["report"]).read()
+        # numeric entity col: charted as series labels, never as a panel
+        assert '<svg role="img"' in html and 'aria-label="partition"' not in html
+        assert 'aria-label="rows_out"' in html
+        assert "Extraction job:" in html and html.count("<tr><td>") >= 1
