@@ -322,6 +322,9 @@ def _nice_step(raw: float) -> float:
     """Clean axis step (1/2/5 x 10^k) nearest raw (Heckbert rounding)."""
     import math
 
+    # clamp: a subnormal/zero span would underflow log10; below display
+    # precision every step is equally honest
+    raw = max(raw, 1e-12)
     mag = 10.0 ** math.floor(math.log10(raw))
     f = raw / mag
     nice = 1.0 if f < 1.5 else 2.0 if f < 3.0 else 5.0 if f < 7.0 else 10.0
