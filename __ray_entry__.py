@@ -136,7 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   revenue ≙ A9 ← q27 (same broadcast-join kernel); q37 banded counts
     #   ← q32 categorize+count + q69 reject-reason CASE counts; q38 anti
     #   join ← q65 (anti_join_auto composition) + q70 incremental dedup;
-    #   q46 heavy hitters ← q10 grouped counts + q08 top-k.
+    #   q46 heavy hitters ← q10 grouped counts + q08 top-k; q34 exact
+    #   grouped quantiles ← q40 describe (the SAME histogram+refine kernel —
+    #   q40 additionally covers the moments pass), demoted to admit q72
+    #   (CountMin) into the window.
     # Every UNIQUE-operator oracle — q43 extraction, q24/q44 structured
     # parse, q51-q60 dedup/chunking family, q23/q55 ANN, q25/q28/q48
     # windows/as-of, q63/q65 decontamination, q68 embedding generation,
@@ -157,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_recommend_source",
         "q29_hash_sample",
         "q30_distinct_pairs",
+        "q34_value_quantiles",
         "q37_price_bands",
         "q38_customers_no_orders",
         "q42_rolling_fingerprint",

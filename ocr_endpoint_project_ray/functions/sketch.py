@@ -440,3 +440,193 @@ def approx_quantiles(
     )
     co = partials.repartition(num_blocks=n, keys=keys)
     return co.map_batches(_merge_block, batch_size=None, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CountMin — mergeable approximate per-term frequency (heavy hitters)
+# ---------------------------------------------------------------------------
+#
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public algorithm): d
+# hash rows x w counters; add(term, c) increments counter[r][h_r(term) % w]
+# for every row r; estimate(term) = min_r counter[r][h_r(term) % w]. The
+# estimate NEVER undercounts (every bucket holds the term's true count plus
+# non-negative collision mass), and the grid is LINEAR — merging two
+# sketches is element-wise sum — which makes it the frequency member of the
+# repo's mergeable-sketch family (HLL = distinct, t-digest = quantiles).
+#
+# Scale shape: the all-to-all that an exact heavy-hitter query (q46) pays in
+# vocabulary-sized (token, count) partials shrinks to ONE d x w integer grid
+# per block; only the candidate TERM SET still shuffles (count-free). With
+# hasher="md5" every cell and estimate is integer arithmetic on the
+# md5-prefix hash, so a DuckDB oracle reproduces the whole pipeline
+# bit-for-bit (q72) — the q50 exact-arithmetic trick, without even the one
+# shared IEEE division.
+
+
+class CountMinSketch:
+    __slots__ = ("d", "w", "grid", "hasher")
+
+    def __init__(
+        self, d: int = 4, w: int = 64, grid: np.ndarray | None = None, hasher: str = "md5"
+    ) -> None:
+        self.d = d
+        self.w = w
+        self.grid = grid if grid is not None else np.zeros((d, w), dtype=np.int64)
+        self.hasher = hasher
+
+    def _buckets(self, terms: list) -> np.ndarray:
+        """(d, n) bucket indices: h_r(t) = hash64(f"{r}:{t}") % w — the row
+        index is folded into the hashed string (the SQL twin concatenates
+        identically: md5(CAST(r AS VARCHAR) || ':' || term))."""
+        hash_fn = _HASHERS[self.hasher]
+        return np.stack(
+            [
+                (hash_fn([f"{r}:{t}" for t in terms]) % np.uint64(self.w)).astype(np.int64)
+                for r in range(self.d)
+            ]
+        )
+
+    def add(self, terms: list, counts: np.ndarray) -> "CountMinSketch":
+        if terms:
+            b = self._buckets(terms)
+            for r in range(self.d):
+                np.add.at(self.grid[r], b[r], counts)
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.grid += other.grid  # linearity: merge is element-wise sum
+        return self
+
+    def estimate(self, terms: list) -> np.ndarray:
+        if not terms:
+            return np.zeros(0, dtype=np.int64)
+        b = self._buckets(terms)
+        return np.min(
+            np.stack([self.grid[r][b[r]] for r in range(self.d)]), axis=0
+        )
+
+    def serialize(self) -> bytes:
+        return self.grid.astype("<i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, d: int, w: int, hasher: str) -> "CountMinSketch":
+        grid = np.frombuffer(data, dtype="<i8").reshape(d, w).copy()
+        return cls(d, w, grid, hasher)
+
+
+def countmin_topk(
+    ds: ray.data.Dataset,
+    term_col: str,
+    *,
+    weight_col: str | None = None,
+    k: int = 10,
+    d: int = 4,
+    w: int = 64,
+    hasher: str = "md5",
+    out: str = "approx_count",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate top-k terms by total count via a CountMin sketch.
+
+    One corpus pass emits, per block, the block's DISTINCT terms (candidate
+    rows, count-free) plus one serialized d x w grid row (union schema); the
+    post-combine partials — bounded by block-vocabulary size, NOT corpus
+    size — are materialized once so the two consumers below don't re-execute
+    the scan (the lazy-DAG fork tax, see pipelines/textops.py q65 note).
+    The grids then sum into one global sketch on the driver (d*w*8 bytes per
+    block — KBs), candidates dedup through a keyed repartition (each term
+    lands in exactly one block, so block-local top-k is globally safe), and
+    a final single-block pass takes the global top-k by
+    (estimate DESC, term ASC — deterministic cut).
+
+    Estimates are upper bounds (est >= true count, property-pytested);
+    block structure never changes the result (linearity, pytested). The
+    candidate set here is exhaustive-but-count-free; at true web vocabulary
+    scale swap it for a per-block heavy-hitter stream (top-m per block) —
+    the grid math is unchanged, but the result becomes approximate in
+    candidate RECALL too, and the SQL twin no longer applies (block-boundary
+    dependent)."""
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 8)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(term_col).combine_chunks() if batch.num_rows else None
+        empty = pa.table(
+            {
+                term_col: pa.array([], pa.string()),
+                "__grid": pa.array([], pa.large_binary()),
+            }
+        )
+        if arr is None or len(arr) == 0:
+            return empty
+        if weight_col is None:
+            vc = arr.drop_null().value_counts()
+            uterms = vc.field(0)
+            wsums = vc.field(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            mask = pc.is_valid(arr)
+            terms_v = arr.filter(mask)
+            weights = (
+                batch.column(weight_col)
+                .combine_chunks()
+                .filter(mask)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            enc = pc.dictionary_encode(terms_v)
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uterms = enc.dictionary
+            wsums = np.bincount(idx, weights=weights, minlength=len(uterms)).astype(
+                np.int64
+            )
+        if len(uterms) == 0:
+            return empty
+        sk = CountMinSketch(d, w, hasher=hasher).add(uterms.to_pylist(), wsums)
+        return pa.table(
+            {
+                term_col: pa.concat_arrays(
+                    [uterms.cast(pa.string()), pa.array([None], pa.string())]
+                ),
+                "__grid": pa.array(
+                    [None] * len(uterms) + [sk.serialize()], pa.large_binary()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # vocab-bounded, consumed twice (grids + candidates)
+
+    def _grids_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch.column(term_col)))
+
+    def _cands_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(term_col))).select([term_col])
+
+    grid_rows = partials.map_batches(
+        _grids_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    sk = CountMinSketch(d, w, hasher=hasher)
+    for row in grid_rows:
+        sk.merge(CountMinSketch.deserialize(row["__grid"], d, w, hasher))
+    grid_ref = ray.put(sk.serialize())  # broadcast ONCE, read per task
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        terms = batch.column(term_col).combine_chunks().unique()
+        sk_b = CountMinSketch.deserialize(ray.get(grid_ref), d, w, hasher)
+        est = sk_b.estimate(terms.to_pylist())
+        t = pa.table({term_col: terms, out: pa.array(est, pa.int64())})
+        order = pc.sort_indices(
+            t, sort_keys=[(out, "descending"), (term_col, "ascending")]
+        )
+        return t.take(order[:k])
+
+    cand = (
+        partials.map_batches(
+            _cands_only, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(num_blocks=n, keys=[term_col])
+        .map_batches(_block_topk, batch_size=None, batch_format="pyarrow")
+    )
+    return cand.repartition(num_blocks=1).map_batches(
+        _block_topk, batch_size=None, batch_format="pyarrow"
+    )

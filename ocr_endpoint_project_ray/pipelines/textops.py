@@ -793,6 +793,50 @@ def q50_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q72_approx_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """CountMin approximate heavy hitters — SQL-ORACLED. q46 computes the
+    exact top-20 tokens by shuffling vocabulary-sized (token, count)
+    partials; this is its bounded-memory sketch twin: each block emits ONE
+    4x64 integer grid plus its count-free distinct-token set, grids merge
+    by element-wise sum (CountMin is linear), and candidates take the top-20
+    by the sketch's min-over-rows estimate. Every cell and estimate is
+    integer arithmetic on the md5-prefix hash
+    (functions/sketch.py::CountMinSketch), so DuckDB reproduces the result
+    bit-for-bit — the q50 exact-arithmetic pattern with no division at all.
+    w=64 forces real collisions at sf0.01 vocabulary size: the oracle
+    certifies the OVERESTIMATES too, not just the happy path."""
+    from ..functions.sketch import countmin_topk
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        # q46's combiner: tokenize + per-block value_counts, so the token
+        # stream never materializes between stages
+        if b.num_rows == 0 or "text" not in b.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+            )
+        toks = pc.split_pattern_regex(
+            pc.coalesce(b.column("text"), ""), "[ \t\n\r\f\v]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n_partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return countmin_topk(
+        partials, "token", weight_col="n_partial", k=20, d=4, w=64, hasher="md5"
+    )
+
+
 def x_approx_quantiles(sf_dir: str) -> ray.data.Dataset:
     """t-digest approximate per-group quantiles — the bounded-memory default
     for UNBOUNDED groups (q34/q40's exact kernel co-locates whole groups and
@@ -952,6 +996,32 @@ def _q50_oracle_sql() -> str:
 
 TEXT_ORACLES["q50_approx_distinct_users"] = _q50_oracle_sql()
 
+# SQL twin of the md5 CountMin (q72): mirrors sketch.py bucket routing
+# (b_r(t) = md5-prefix-uint64(r || ':' || t) % w), the per-cell integer sums,
+# the min-over-rows estimate, and the deterministic (estimate DESC, token
+# ASC) cut at k=20 — pure integer arithmetic end to end.
+TEXT_ORACLES["q72_approx_top_terms"] = f"""
+    WITH counts AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '{_SQL_TOKEN_PATTERN}')) AS tok
+              FROM documents)
+        GROUP BY tok),
+    bucketed AS (
+        SELECT c.token, rs.r,
+               ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || c.token), 1, 16))
+                   ::UBIGINT % 64 AS b,
+               c.cnt
+        FROM counts c CROSS JOIN (SELECT unnest(range(4)) AS r) rs),
+    grid AS (SELECT r, b, sum(cnt) AS cell FROM bucketed GROUP BY r, b),
+    est AS (
+        SELECT bu.token, CAST(min(g.cell) AS BIGINT) AS approx_count
+        FROM bucketed bu JOIN grid g ON bu.r = g.r AND bu.b = g.b
+        GROUP BY bu.token)
+    SELECT token, approx_count FROM est
+    ORDER BY approx_count DESC, token ASC
+    LIMIT 20
+"""
+
 
 TEXT_QUERIES = {
     "q14_doc_dedup": q14_doc_dedup,
@@ -977,6 +1047,7 @@ TEXT_QUERIES = {
     "q41_simhash": q41_simhash,
     "q42_rolling_fingerprint": q42_rolling_fingerprint,
     "q50_approx_distinct_users": q50_approx_distinct_users,
+    "q72_approx_top_terms": q72_approx_top_terms,
     "x_minhash_pairs": x_minhash_pairs,
     "x_ann_lsh": x_ann_lsh,
     "x_ann_ivf": x_ann_ivf,

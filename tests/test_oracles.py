@@ -100,6 +100,7 @@ def test_driver_window_ordering():
         "q22_recommend_source": ["q08_top_orders", "q21_condorcet_sources"],
         "q29_hash_sample": ["q47_stratified_sample", "q15_doc_fingerprint"],
         "q30_distinct_pairs": ["q36_distinct_users", "q09_latest_event_per_user"],
+        "q34_value_quantiles": ["q40_value_describe"],
         "q37_price_bands": ["q32_parse_error_categories"],
         "q38_customers_no_orders": ["q65_remove_contaminated"],
         "q42_rolling_fingerprint": ["q15_doc_fingerprint"],
@@ -144,6 +145,12 @@ def test_driver_window_ordering():
         "q43_extract_spans",
         "q24_parse_validity_rates",
         "q44_structured_parse",
+        "q50_approx_distinct_users",
+        "q68_embed_ann",
+        "q69_upload_validation",
+        "q70_incremental_dedup",
+        "q71_media_features",
+        "q72_approx_top_terms",
     ):
         assert must_have in keys[:50]
 

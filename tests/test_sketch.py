@@ -248,3 +248,90 @@ class TestSortedGroupRuns:
         )
         _, bounds = _sorted_group_runs(t, ["a", "b"])
         assert sorted(np.diff(bounds).tolist()) == [1, 2, 2]
+
+
+class TestCountMin:
+    def _exact(self, terms):
+        from collections import Counter
+
+        return Counter(t for t in terms if t is not None)
+
+    def test_estimate_never_undercounts_and_exact_without_collisions(self):
+        from ocr_endpoint_project_ray.functions.sketch import CountMinSketch
+
+        terms = [f"t{i}" for i in range(30) for _ in range(i + 1)]
+        exact = self._exact(terms)
+        # w=8 forces collisions: every estimate is an upper bound
+        sk = CountMinSketch(d=4, w=8).add(
+            list(exact), np.array(list(exact.values()), np.int64)
+        )
+        est = sk.estimate(list(exact))
+        assert all(e >= exact[t] for t, e in zip(exact, est))
+        # w large enough that 30 terms x 4 rows collide with ~0 probability
+        sk2 = CountMinSketch(d=4, w=1 << 16).add(
+            list(exact), np.array(list(exact.values()), np.int64)
+        )
+        est2 = sk2.estimate(list(exact))
+        assert all(e == exact[t] for t, e in zip(exact, est2))
+
+    def test_merge_is_linear(self):
+        from ocr_endpoint_project_ray.functions.sketch import CountMinSketch
+
+        a = CountMinSketch(d=2, w=16).add(["x", "y"], np.array([3, 5], np.int64))
+        b = CountMinSketch(d=2, w=16).add(["x", "z"], np.array([7, 1], np.int64))
+        whole = CountMinSketch(d=2, w=16).add(
+            ["x", "y", "z"], np.array([10, 5, 1], np.int64)
+        )
+        merged = a.merge(
+            CountMinSketch.deserialize(b.serialize(), 2, 16, "md5")
+        )
+        assert np.array_equal(merged.grid, whole.grid)
+
+    def test_topk_block_structure_invariant(self, ray_session):
+        """The distributed result must equal the single-sketch brute result
+        and be independent of how rows split into blocks (linearity)."""
+        import ray.data
+
+        from ocr_endpoint_project_ray.functions.sketch import (
+            CountMinSketch,
+            countmin_topk,
+        )
+
+        rows = [{"term": f"w{i % 17}"} for i in range(400)] + [{"term": None}] * 5
+        exact = self._exact(r["term"] for r in rows)
+        sk = CountMinSketch(d=4, w=16).add(
+            list(exact), np.array(list(exact.values()), np.int64)
+        )
+        est = dict(zip(exact, sk.estimate(list(exact))))
+        want = sorted(exact, key=lambda t: (-est[t], t))[:5]
+        want = [{"term": t, "approx_count": int(est[t])} for t in want]
+        for par in (1, 7):
+            ds = ray.data.from_items(rows, override_num_blocks=par)
+            got = countmin_topk(
+                ds, "term", k=5, d=4, w=16, num_partitions=2
+            ).take_all()
+            assert got == want, (par, got[:3], want[:3])
+
+    def test_weighted_path_matches_unweighted(self, ray_session):
+        import ray.data
+
+        from ocr_endpoint_project_ray.functions.sketch import countmin_topk
+
+        flat = [{"term": t} for t in ["a"] * 6 + ["b"] * 3 + ["c"] * 9]
+        pre = [
+            {"term": "a", "n": 4}, {"term": "a", "n": 2},
+            {"term": "b", "n": 3},
+            {"term": "c", "n": 9}, {"term": None, "n": 99},
+        ]
+        r1 = countmin_topk(
+            ray.data.from_items(flat, override_num_blocks=3), "term", k=3, w=32
+        ).take_all()
+        r2 = countmin_topk(
+            ray.data.from_items(pre, override_num_blocks=2),
+            "term", weight_col="n", k=3, w=32,
+        ).take_all()
+        assert r1 == r2 == [
+            {"term": "c", "approx_count": 9},
+            {"term": "a", "approx_count": 6},
+            {"term": "b", "approx_count": 3},
+        ]
