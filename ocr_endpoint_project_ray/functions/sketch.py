@@ -525,6 +525,7 @@ def countmin_topk(
     hasher: str = "md5",
     out: str = "approx_count",
     num_partitions: int | None = None,
+    candidate_topm: int | None = None,
 ) -> ray.data.Dataset:
     """Approximate top-k terms by total count via a CountMin sketch.
 
@@ -540,12 +541,18 @@ def countmin_topk(
     (estimate DESC, term ASC — deterministic cut).
 
     Estimates are upper bounds (est >= true count, property-pytested);
-    block structure never changes the result (linearity, pytested). The
-    candidate set here is exhaustive-but-count-free; at true web vocabulary
-    scale swap it for a per-block heavy-hitter stream (top-m per block) —
-    the grid math is unchanged, but the result becomes approximate in
-    candidate RECALL too, and the SQL twin no longer applies (block-boundary
-    dependent)."""
+    with the default exhaustive candidates, block structure never changes
+    the result (linearity, pytested).
+
+    ``candidate_topm`` selects the true web-vocabulary mode: each block
+    forwards only its top-m terms by LOCAL count as candidates (the grid
+    still absorbs every term), so the shuffled candidate stream is
+    O(m x n_blocks) instead of the corpus vocabulary. A global heavy hitter
+    with frequency >= corpus/m appears in some block's local top-m
+    (pigeonhole over that block), so recall degrades gracefully and only
+    for the tail. The result then depends on block boundaries — rows-only
+    territory, no SQL twin (x_countmin_heavy); a recall pytest bounds it
+    instead."""
     n = num_partitions or min(default_num_partitions(per_cpu=1), 8)
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -581,13 +588,19 @@ def countmin_topk(
         if len(uterms) == 0:
             return empty
         sk = CountMinSketch(d, w, hasher=hasher).add(uterms.to_pylist(), wsums)
+        cand = uterms.cast(pa.string())
+        if candidate_topm is not None and len(cand) > candidate_topm:
+            # web-vocab mode: forward only the block's local heavy hitters;
+            # deterministic cut by (count desc, term asc)
+            order = np.lexsort((np.asarray(cand), -wsums))[:candidate_topm]
+            cand = cand.take(pa.array(np.sort(order), pa.int64()))
         return pa.table(
             {
                 term_col: pa.concat_arrays(
-                    [uterms.cast(pa.string()), pa.array([None], pa.string())]
+                    [cand, pa.array([None], pa.string())]
                 ),
                 "__grid": pa.array(
-                    [None] * len(uterms) + [sk.serialize()], pa.large_binary()
+                    [None] * len(cand) + [sk.serialize()], pa.large_binary()
                 ),
             }
         )

@@ -808,32 +808,56 @@ def q72_approx_top_terms(sf_dir: str) -> ray.data.Dataset:
     from ..functions.sketch import countmin_topk
 
     ds = read_table(sf_dir, "documents", columns=["text"])
-
-    def _partial(b: pa.Table) -> pa.Table:
-        # q46's combiner: tokenize + per-block value_counts, so the token
-        # stream never materializes between stages
-        if b.num_rows == 0 or "text" not in b.column_names:
-            return pa.table(
-                {"token": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
-            )
-        toks = pc.split_pattern_regex(
-            pc.coalesce(b.column("text"), ""), "[ \t\n\r\f\v]+"
-        )
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = flat.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "n_partial": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
-
     partials = ds.map_batches(
-        _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        _token_count_partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
     return countmin_topk(
         partials, "token", weight_col="n_partial", k=20, d=4, w=64, hasher="md5"
+    )
+
+
+def _token_count_partial(b: pa.Table) -> pa.Table:
+    """q46's combiner: tokenize + per-block value_counts, so the token
+    stream never materializes between stages."""
+    if b.num_rows == 0 or "text" not in b.column_names:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+        )
+    toks = pc.split_pattern_regex(pc.coalesce(b.column("text"), ""), "[ \t\n\r\f\v]+")
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = flat.value_counts()
+    return pa.table(
+        {
+            "token": vc.field("values"),
+            "n_partial": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def x_countmin_heavy(sf_dir: str) -> ray.data.Dataset:
+    """Production CountMin configuration — the web-vocabulary shape q72
+    certifies the arithmetic for: blake2b hashing (no SQL-twin constraint),
+    a 4x4096 grid (collision rate sized for real vocabularies), and the
+    per-block top-m candidate stream (``candidate_topm``) so the candidate
+    shuffle is O(m x n_blocks) instead of corpus-vocabulary-sized.
+    Rows-only by nature: the candidate set depends on block boundaries
+    (recall bounded by pytest — tests/test_sketch.py::TestCountMin)."""
+    from ..functions.sketch import countmin_topk
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    partials = ds.map_batches(
+        _token_count_partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return countmin_topk(
+        partials,
+        "token",
+        weight_col="n_partial",
+        k=20,
+        d=4,
+        w=4096,
+        hasher="blake2b",
+        candidate_topm=2000,
     )
 
 
@@ -1056,6 +1080,7 @@ TEXT_QUERIES = {
     "x_minhash_groups": x_minhash_groups,
     "x_approx_distinct_users": x_approx_distinct_users,
     "x_approx_quantiles": x_approx_quantiles,
+    "x_countmin_heavy": x_countmin_heavy,
 }
 
 

@@ -335,3 +335,25 @@ class TestCountMin:
             {"term": "a", "approx_count": 6},
             {"term": "b", "approx_count": 3},
         ]
+
+    def test_candidate_topm_keeps_heavy_hitters(self, ray_session):
+        """Web-vocab mode: with per-block top-m candidate streams, every
+        term heavy in SOME block (all true global heavy hitters here — they
+        dominate every block they touch) survives to the final top-k even
+        though most of the vocabulary never leaves its block."""
+        import ray.data
+
+        from ocr_endpoint_project_ray.functions.sketch import countmin_topk
+
+        rows = []
+        for blk in range(4):  # 4 heavy terms (100x) + 200 singleton terms
+            rows += [{"term": f"HEAVY{i}"} for i in range(4) for _ in range(100)]
+            rows += [{"term": f"rare{blk}_{j}"} for j in range(200)]
+        ds = ray.data.from_items(rows, override_num_blocks=4)
+        got = countmin_topk(
+            ds, "term", k=4, d=4, w=4096, hasher="blake2b",
+            candidate_topm=8, num_partitions=2,
+        ).take_all()
+        assert sorted(r["term"] for r in got) == [f"HEAVY{i}" for i in range(4)]
+        # estimates still upper-bound the truth (400 each)
+        assert all(r["approx_count"] >= 400 for r in got)
