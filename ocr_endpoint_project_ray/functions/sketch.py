@@ -1,5 +1,6 @@
-"""Mergeable sketches — HyperLogLog approximate count-distinct and a
-t-digest for approximate quantiles.
+"""Mergeable sketches — HyperLogLog approximate count-distinct, a t-digest
+for approximate quantiles, and a CountMin for approximate frequency /
+heavy hitters.
 
 The canonical "pre-aggregate then merge" citizens (ray_guide: emit one
 serialized sketch per batch, merge in a tiny second stage): per-batch update
