@@ -127,13 +127,14 @@ def run_headline(sf_dir: str, *, warmup: bool = True) -> dict:
             ray.data.read_parquet(corpus).limit(1000), salted=True, num_partitions=parts
         ).count()
 
-    # best-of-2 measured trials: host-level co-tenant steal is bursty
-    # (10-40% swings within a minute), so a single trial can read 2-4× slow;
-    # the min is the honest steady-state number, both trials are reported
+    # best-of-3 measured trials: host-level co-tenant steal is bursty
+    # (10-40% swings within a minute, sometimes spanning two back-to-back
+    # trials — observed r5), so a single trial can read 2-4× slow; the min
+    # is the honest steady-state number, every trial + its steal is reported
     trials: list[float] = []
     steals: list[float | None] = []
     n = 0
-    for _ in range(2):
+    for _ in range(3):
         stat0 = _cpu_stat()
         t0 = time.time()
         n = extract_documents(
