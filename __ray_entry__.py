@@ -110,12 +110,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # window, so every SQL-oracled query MUST precede the rows-only x_ checks
     # — enforced structurally here (r2 verdict: three oracled queries
     # registered after the x_ block silently fell outside the checked
-    # window). With 71 oracled queries, twenty-one overflow the window. The
+    # window). With 72 oracled queries, twenty-two overflow the window. The
     # demoted set ROTATES per round (r3 verdict item 2) so every oracle
     # regains a fresh driver row within two rounds. Round 5 restores the
     # whole round-4 demotion set except q02 (q01, q08-q12, q15, q16, q23,
     # q25, q26, q28, q33, q36, q47, q48 — all driver-green in CORRECTNESS
-    # r1-r3 and judge-re-verified on r4 code) and demotes twenty-one
+    # r1-r3 and judge-re-verified on r4 code) and demotes twenty-two
     # queries that were driver-green in CORRECTNESS_r04, each with an
     # in-window operator twin (COVERAGE.md):
     # - IDENTICAL-oracle twins (the q25↔q62 alternation — each pair shares

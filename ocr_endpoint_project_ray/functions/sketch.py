@@ -571,14 +571,14 @@ def countmin_topk(
             uterms = vc.field(0)
             wsums = vc.field(1).to_numpy(zero_copy_only=False).astype(np.int64)
         else:
-            mask = pc.is_valid(arr)
+            # a null term OR a null weight contributes nothing (SQL
+            # sum-ignores-null semantics) — a null weight surviving into
+            # to_numpy would become NaN → INT64_MIN and poison the grid
+            warr = batch.column(weight_col).combine_chunks()
+            mask = pc.and_(pc.is_valid(arr), pc.is_valid(warr))
             terms_v = arr.filter(mask)
             weights = (
-                batch.column(weight_col)
-                .combine_chunks()
-                .filter(mask)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
+                warr.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
             )
             enc = pc.dictionary_encode(terms_v)
             idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

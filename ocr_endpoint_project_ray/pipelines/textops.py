@@ -218,22 +218,9 @@ def q46_top_terms(sf_dir: str) -> ray.data.Dataset:
     K = 20
 
     def _partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "text" not in b.column_names:
-            return pa.table(
-                {"token": pa.array([], pa.string()), "n_occurrences": pa.array([], pa.int64())}
-            )
-        toks = pc.split_pattern_regex(
-            pc.coalesce(b.column("text"), ""), "[ \t\n\r\f\v]+"
-        )
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))  # split artifacts at edges
-        vc = flat.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "n_occurrences": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
+        # the ONE tokenize+value_counts combiner (shared with q72/x_countmin
+        # so the token split class can never drift between them)
+        return _token_count_partial(b).rename_columns(["token", "n_occurrences"])
 
     def _final(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "token" not in b.column_names:

@@ -81,7 +81,7 @@ def test_driver_window_ordering():
     first_rows_only = next(i for i, k in enumerate(keys) if k not in oracled)
     assert all(k not in oracled for k in keys[first_rows_only:])
     # Round-5 rotation (r3 verdict item 2, standing protocol): the r4
-    # demotion set is restored in-window (except q02); these twenty-one
+    # demotion set is restored in-window (except q02); these twenty-two
     # (all driver-green in CORRECTNESS_r04) are demoted, each with the
     # in-window operator twin(s) listed — asserted below so a future edit
     # can't silently drop a covering twin. q61/q62/q64/q66/q67 share their

@@ -357,3 +357,23 @@ class TestCountMin:
         assert sorted(r["term"] for r in got) == [f"HEAVY{i}" for i in range(4)]
         # estimates still upper-bound the truth (400 each)
         assert all(r["approx_count"] >= 400 for r in got)
+
+    def test_null_weight_rows_contribute_nothing(self, ray_session):
+        """A null weight must be ignored (SQL sum semantics) — unguarded it
+        becomes NaN → INT64_MIN in the grid and poisons every estimate."""
+        import ray.data
+
+        from ocr_endpoint_project_ray.functions.sketch import countmin_topk
+
+        rows = [
+            {"term": "a", "n": 4}, {"term": "a", "n": None},
+            {"term": "b", "n": 3}, {"term": None, "n": 7},
+        ]
+        got = countmin_topk(
+            ray.data.from_items(rows, override_num_blocks=2),
+            "term", weight_col="n", k=2, w=32,
+        ).take_all()
+        assert got == [
+            {"term": "a", "approx_count": 4},
+            {"term": "b", "approx_count": 3},
+        ]
