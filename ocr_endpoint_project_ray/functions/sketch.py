@@ -1,6 +1,7 @@
 """Mergeable sketches — HyperLogLog approximate count-distinct, a t-digest
-for approximate quantiles, and a CountMin for approximate frequency /
-heavy hitters.
+for approximate quantiles, a CountMin for approximate frequency / heavy
+hitters, and a Bloom filter for approximate set membership (no false
+negatives; the contamination / seen-before prefilter).
 
 The canonical "pre-aggregate then merge" citizens (ray_guide: emit one
 serialized sketch per batch, merge in a tiny second stage): per-batch update
@@ -644,3 +645,136 @@ def countmin_topk(
     return cand.repartition(num_blocks=1).map_batches(
         _block_topk, batch_size=None, batch_format="pyarrow"
     )
+
+
+def _hash_pair_blake2b(values: list) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per value from ONE 128-bit blake2b
+    digest (halves of a cryptographic digest are independent) — the
+    production Bloom hash family."""
+    h1 = np.empty(len(values), dtype=np.uint64)
+    h2 = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(str(v).encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:16], "little")
+    return h1, h2
+
+
+def _hash_pair_md5(values: list) -> tuple[np.ndarray, np.ndarray]:
+    """md5 halves — the SQL-twin pair: DuckDB computes the identical values
+    as ``('0x' || substr(md5(v), 1, 16))::UBIGINT`` (h1, first 8 digest
+    bytes big-endian, the q50/q72 convention) and ``substr(md5(v), 17, 16)``
+    (h2, the second 8 bytes), which is what makes a whole Bloom-membership
+    pipeline oracle-able (q73) — false positives and all."""
+    h1 = np.empty(len(values), dtype=np.uint64)
+    h2 = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(str(v).encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:16], "big")
+    return h1, h2
+
+
+_HASH_PAIRS = {"blake2b": _hash_pair_blake2b, "md5": _hash_pair_md5}
+
+
+class BloomFilter:
+    """Mergeable Bloom filter (Bloom 1970, public algorithm) with the
+    Kirsch–Mitzenmacher double-hashing family: position_i(v) =
+    (h1(v) + i·h2(v)) mod m for i in 0..k-1, from one 128-bit digest.
+
+    ``m`` MUST be a power of two: the engine computes h1 + i·h2 in
+    wrapping uint64 arithmetic while the SQL twin computes
+    ``(h1 % m + i·(h2 % m)) % m`` in unbounded integers — the two agree
+    exactly iff m divides 2^64. Enforced at construction.
+
+    Merge is bitwise OR (set union of the inserted elements' bit
+    positions), so per-block partial filters stream to a tiny driver-side
+    reduce exactly like the CountMin grids: n_blocks × m/8 bytes of driver
+    state, the corpus never leaves the workers. Membership has NO false
+    negatives ever; false-positive probability ≈ (1 − e^{−kn/m})^k
+    (property-pytested). At 100 TB the natural use is a contamination /
+    seen-before PREFILTER: the filter for 10⁹ keys at 1 % FP is ~1.2 GiB —
+    ray.put once, read zero-copy in every task, confirm survivors with the
+    exact hashed path (decontaminate_hashed).
+
+    Reference analogue: none — training-data extension (the membership
+    counterpart of the CountMin frequency sketch above)."""
+
+    __slots__ = ("m", "k", "bits", "hasher")
+
+    def __init__(
+        self,
+        m: int = 1 << 20,
+        k: int = 4,
+        bits: np.ndarray | None = None,
+        hasher: str = "blake2b",
+    ) -> None:
+        if m <= 0 or (m & (m - 1)) != 0:
+            raise ValueError(f"m must be a power of two (got {m}) — see docstring")
+        self.m = m
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(m, dtype=bool)
+        self.hasher = hasher
+
+    def _positions(self, values: list) -> np.ndarray:
+        """(k, n) bit positions; uint64 wraparound is exact mod m (m | 2^64)."""
+        h1, h2 = _HASH_PAIRS[self.hasher](values)
+        m = np.uint64(self.m)
+        return np.stack(
+            [((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(self.k)]
+        )
+
+    def add_many(self, values: list) -> "BloomFilter":
+        if len(values):
+            self.bits[self._positions(values).ravel()] = True
+        return self
+
+    def contains_many(self, values: list) -> np.ndarray:
+        """Vectorized membership: True iff ALL k positions are set."""
+        if not len(values):
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._positions(values)].all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(self.bits.mean())
+
+    def serialize(self) -> bytes:
+        return np.packbits(self.bits).tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, m: int, k: int, hasher: str) -> "BloomFilter":
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=m).astype(bool)
+        return cls(m, k, bits, hasher)
+
+
+def bloom_from_dataset(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    m: int = 1 << 20,
+    k: int = 4,
+    hasher: str = "blake2b",
+) -> BloomFilter:
+    """Distributed Bloom build: one packed-bit partial per block (m/8
+    bytes), OR-merged on the driver — the countmin_topk grid-stream
+    pattern. Driver state is n_blocks × m/8 bytes, corpus-size
+    independent; null values contribute nothing (SQL NULL-membership
+    semantics)."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).drop_null().to_pylist()
+        bf = BloomFilter(m=m, k=k, hasher=hasher).add_many(vals)
+        return pa.table({"__bloom": pa.array([bf.serialize()], pa.large_binary())})
+
+    out = BloomFilter(m=m, k=k, hasher=hasher)
+    rows = ds.map_batches(
+        _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    for r in rows:
+        out.merge(BloomFilter.deserialize(r["__bloom"], m=m, k=k, hasher=hasher))
+    return out

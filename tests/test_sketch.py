@@ -377,3 +377,70 @@ class TestCountMin:
             {"term": "a", "approx_count": 4},
             {"term": "b", "approx_count": 3},
         ]
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_bound(self):
+        from ocr_endpoint_project_ray.functions.sketch import BloomFilter
+
+        inserted = [f"key-{i}" for i in range(1000)]
+        bf = BloomFilter(m=1 << 14, k=4).add_many(inserted)
+        assert bf.contains_many(inserted).all(), "Bloom false negative"
+        probes = [f"absent-{i}" for i in range(20000)]
+        fp = float(bf.contains_many(probes).mean())
+        # theory: (1 - e^{-kn/m})^k = (1 - e^{-4000/16384})^4 ≈ 0.0022;
+        # allow 3x sampling slack
+        assert fp < 0.0066, fp
+
+    def test_merge_equals_bulk_add(self):
+        from ocr_endpoint_project_ray.functions.sketch import BloomFilter
+
+        a = BloomFilter(m=1 << 10, k=3).add_many(["x", "y"])
+        b = BloomFilter(m=1 << 10, k=3).add_many(["y", "z"])
+        whole = BloomFilter(m=1 << 10, k=3).add_many(["x", "y", "z"])
+        merged = a.merge(BloomFilter.deserialize(b.serialize(), 1 << 10, 3, "blake2b"))
+        assert np.array_equal(merged.bits, whole.bits)
+
+    def test_power_of_two_enforced(self):
+        import pytest as _pytest
+
+        from ocr_endpoint_project_ray.functions.sketch import BloomFilter
+
+        with _pytest.raises(ValueError):
+            BloomFilter(m=1000)
+
+    def test_md5_positions_match_sql_twin(self):
+        """The q73 oracle contract: (h1 % m + i*(h2 % m)) % m in unbounded
+        SQL integers equals the engine's wrapping-uint64 (h1 + i*h2) % m."""
+        import duckdb
+
+        from ocr_endpoint_project_ray.functions.sketch import BloomFilter
+
+        vals = ["alpha beta", "k1 k2 k3", "", "Ünïcode test"]
+        bf = BloomFilter(m=1 << 10, k=3, hasher="md5")
+        eng = bf._positions(vals)
+        con = duckdb.connect()
+        for j, v in enumerate(vals):
+            rows = con.execute(
+                """
+                SELECT (((('0x'||substr(md5(?),1,16))::UBIGINT % 1024)::BIGINT
+                       + i.i * ((('0x'||substr(md5(?),17,16))::UBIGINT % 1024)::BIGINT)) % 1024)
+                FROM (SELECT unnest(range(3)) AS i) i ORDER BY i.i
+                """,
+                [v, v],
+            ).fetchall()
+            assert [r[0] for r in rows] == list(eng[:, j])
+
+    def test_dataset_build_matches_local(self, ray_session):
+        from ocr_endpoint_project_ray.functions.sketch import (
+            BloomFilter,
+            bloom_from_dataset,
+        )
+
+        vals = [f"v{i}" for i in range(500)] + [None]
+        ds = ray.data.from_arrow(
+            pa.table({"s": pa.array(vals, pa.string())})
+        ).repartition(num_blocks=7)
+        dist = bloom_from_dataset(ds, "s", m=1 << 12, k=3)
+        local = BloomFilter(m=1 << 12, k=3).add_many([v for v in vals if v is not None])
+        assert np.array_equal(dist.bits, local.bits)
