@@ -2085,3 +2085,121 @@ SELECT qid AS query_id, nid AS neighbor_id, nn_rank FROM (
          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS nn_rank
   FROM s) WHERE nn_rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# q73: Bloom-prefilter decontamination (the sketch face of q54/q63)
+# ---------------------------------------------------------------------------
+
+#: Deliberately UNDERSIZED sketch geometry so false positives occur at every
+#: sf and the oracle proves it reproduces them (the q72 CountMin argument).
+#: Production sizing note in the q73 docstring.
+_BLOOM_DECON_M = 1 << 10
+_BLOOM_DECON_K = 2
+
+
+def q73_bloom_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefilter decontamination: per document, count the 5-token
+    n-gram occurrences whose space-joined canonical form tests positive
+    against a Bloom filter built from the benchmark phrase set (q54's
+    deterministic phrases — each exactly 5 tokens by construction).
+
+    The sketch face of the q54→q63 decontamination family: membership is
+    APPROXIMATE (no false negatives ever — every true q63 containment hit
+    bloom-hits here, the Bloom guarantee — but false-positive n-grams
+    count too). The filter is deliberately undersized (m=1024 bits, k=2)
+    so FPs actually occur at every sf, and the SQL oracle reproduces them
+    bit-exactly by recomputing the same md5-half double-hash positions
+    (functions/sketch.py::_hash_pair_md5) — the approximation itself is
+    what's certified.
+
+    Scale shape: the phrase side is an eval suite (small, broadcast); the
+    m/8-byte bitset ships via ray.put ONCE — a fixed-size carrier no
+    matter how many phrases went in, unlike q54's per-phrase column scans
+    or q63's sorted hash arrays — and the corpus streams through one
+    vectorized map pass, zero shuffle. At 10⁹ phrases the same code holds
+    with m scaled to keep FP bounded (~1.2 GiB at 1 %, one zero-copy
+    plasma object); survivors then confirm against the exact hashed path
+    (decontaminate_hashed): sketch prefilter, exact verify.
+
+    Reference analogue: none — training-data extension."""
+    import re
+
+    from ..functions.sketch import BloomFilter
+    from ..functions.text import TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    phrases = _bench_phrases(docs)
+    bf = BloomFilter(m=_BLOOM_DECON_M, k=_BLOOM_DECON_K, hasher="md5")
+    bf.add_many(phrases)  # already canonical: TOKEN_RE tokens joined by ' '
+    bits_ref = ray.put(bf.serialize())
+    m, k = _BLOOM_DECON_M, _BLOOM_DECON_K
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tokre = re.compile(TOKEN_RE)
+        flt = BloomFilter.deserialize(ray.get(bits_ref), m, k, "md5")
+        grams: list[str] = []
+        rows: list[int] = []
+        for row, t in enumerate(batch.column("text").to_pylist()):
+            ws = tokre.findall(t or "")
+            for j in range(len(ws) - 4):
+                grams.append(" ".join(ws[j : j + 5]))
+                rows.append(row)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if grams:
+            hit = flt.contains_many(grams)
+            np.add.at(hits, np.asarray(rows, dtype=np.int64)[hit], 1)
+        keep = pa.array(hits > 0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id").filter(keep), pa.int64()),
+                "bloom_hits": pa.array(hits[hits > 0], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        _scan, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+#: SQL twin of q73 — rebuilds the benchmark phrases (the Q54 rule), sets
+#: their k=2 double-hash bit positions (md5 halves, the
+#: _hash_pair_md5/BloomFilter contract: position_i = (h1 + i·h2) mod m,
+#: legal in modular pieces because m=2^10 divides 2^64 — see the
+#: BloomFilter docstring), then counts, per doc, every 5-gram occurrence
+#: whose BOTH positions are set. False positives reproduce exactly.
+Q73_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT array_to_string(ts[4:8], ' ') AS phrase
+  FROM tok WHERE doc_id % 100 = 7 AND doc_id < 1000 AND len(ts) >= 8
+),
+bbits AS (
+  SELECT DISTINCT ((('0x'||substr(md5(phrase),1,16))::UBIGINT % {_BLOOM_DECON_M})::BIGINT
+        + i.i * ((('0x'||substr(md5(phrase),17,16))::UBIGINT % {_BLOOM_DECON_M})::BIGINT))
+        % {_BLOOM_DECON_M} AS pos
+  FROM bench CROSS JOIN (SELECT unnest(range({_BLOOM_DECON_K})) AS i) i
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(ts[CAST(j.j + 1 AS INTEGER):CAST(j.j + 5 AS INTEGER)], ' ') AS g
+  FROM tok, unnest(range(len(ts) - 4)) AS j(j)
+  WHERE len(ts) >= 5
+),
+gpos AS (
+  SELECT doc_id,
+         (('0x'||substr(md5(g),1,16))::UBIGINT % {_BLOOM_DECON_M})::BIGINT AS p1,
+         (('0x'||substr(md5(g),17,16))::UBIGINT % {_BLOOM_DECON_M})::BIGINT AS p2
+  FROM grams
+)
+SELECT doc_id, count(*) AS bloom_hits
+FROM gpos
+WHERE p1 IN (SELECT pos FROM bbits)
+  AND (p1 + p2) % {_BLOOM_DECON_M} IN (SELECT pos FROM bbits)
+GROUP BY doc_id
+"""

@@ -81,7 +81,7 @@ def test_driver_window_ordering():
     first_rows_only = next(i for i, k in enumerate(keys) if k not in oracled)
     assert all(k not in oracled for k in keys[first_rows_only:])
     # Round-5 rotation (r3 verdict item 2, standing protocol): the r4
-    # demotion set is restored in-window (except q02); these twenty-two
+    # demotion set is restored in-window (except q02); these twenty-three
     # (all driver-green in CORRECTNESS_r04) are demoted, each with the
     # in-window operator twin(s) listed — asserted below so a future edit
     # can't silently drop a covering twin. q61/q62/q64/q66/q67 share their
@@ -98,6 +98,7 @@ def test_driver_window_ordering():
         "q17_doc_quality": ["q33_quality_filter"],
         "q18_lang_stats": ["q45_langid", "q01_pricing_summary"],
         "q22_recommend_source": ["q08_top_orders", "q21_condorcet_sources"],
+        "q24_parse_validity_rates": ["q44_structured_parse", "q12_high_value_rate"],
         "q29_hash_sample": ["q47_stratified_sample", "q15_doc_fingerprint"],
         "q30_distinct_pairs": ["q36_distinct_users", "q09_latest_event_per_user"],
         "q34_value_quantiles": ["q40_value_describe"],
@@ -143,8 +144,8 @@ def test_driver_window_ordering():
         "q63_decontaminate_hashed",
         "q65_remove_contaminated",
         "q43_extract_spans",
-        "q24_parse_validity_rates",
         "q44_structured_parse",
+        "q73_bloom_decontaminate",
         "q50_approx_distinct_users",
         "q68_embed_ann",
         "q69_upload_validation",
