@@ -2203,3 +2203,88 @@ WHERE p1 IN (SELECT pos FROM bbits)
   AND (p1 + p2) % {_BLOOM_DECON_M} IN (SELECT pos FROM bbits)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q74: BM25 ranked search (lexical retrieval over the corpus)
+# ---------------------------------------------------------------------------
+
+#: Fixed search query for the oracled retrieval demo — literal terms (a
+#: search query is user input by nature); all four are stable members of
+#: the synthetic corpus vocabulary at every sf.
+_BM25_TERMS = ("hash", "join", "window", "spark")
+
+
+def q74_bm25_search(sf_dir: str) -> ray.data.Dataset:
+    """Okapi BM25 top-20 documents for a fixed 4-term query — the lexical
+    retrieval counterpart of q23's vector top-k (stages/search.py, which
+    documents the two-pass shape, the per-block candidate cut, and the
+    q68-protocol float parity: mirrored operation order + round-to-9 on
+    both sides + boundary-clearance pytest in tests/test_search.py).
+
+    SQL-oracled end to end: document frequencies, avgdl, idf, the per-term
+    score sum IN TERM ORDER, the rounded ranking, and the (score DESC,
+    doc_id ASC) tie cut all reproduce in DuckDB — the oracle certifies the
+    distributed two-pass statistics, not just the final ordering.
+
+    Reference analogue: none — training-data extension."""
+    from ..stages.search import bm25_topk
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, topk=20, round_scores=9)
+
+
+#: SQL twin of q74 — every float expression is written in the ENGINE's
+#: operation order (stages/search.py::bm25_topk scoring loop): per-term
+#: contribution idf_j * (tf_j * (1.2 + 1.0)) / (tf_j + 1.2 * (1.0 - 0.75
+#: + 0.75 * (dl / avgdl))), summed left-to-right in term order, rounded to
+#: 9 decimals before ranking. ln() and IEEE arithmetic resolve to the same
+#: platform libm on both engines; clearance from rounding boundaries is
+#: pytest-certified (tests/test_search.py).
+Q74_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, len(ts) AS dl,
+         len(list_filter(ts, x -> x = 'hash'))   AS tf0,
+         len(list_filter(ts, x -> x = 'join'))   AS tf1,
+         len(list_filter(ts, x -> x = 'window')) AS tf2,
+         len(list_filter(ts, x -> x = 'spark'))  AS tf3
+  FROM tok
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         count(*) FILTER (WHERE tf0 > 0) AS df0,
+         count(*) FILTER (WHERE tf1 > 0) AS df1,
+         count(*) FILTER (WHERE tf2 > 0) AS df2,
+         count(*) FILTER (WHERE tf3 > 0) AS df3
+  FROM tf
+),
+consts AS (
+  SELECT CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+         ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) AS idf0,
+         ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) AS idf1,
+         ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) AS idf2,
+         ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) AS idf3
+  FROM stats
+),
+scored AS (
+  SELECT f.doc_id, f.dl,
+         CAST((f.tf0 > 0)::INT + (f.tf1 > 0)::INT
+            + (f.tf2 > 0)::INT + (f.tf3 > 0)::INT AS BIGINT) AS n_matched,
+         round(
+           c.idf0 * (f.tf0 * (1.2 + 1.0)) / (f.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / c.avgdl)))
+         + c.idf1 * (f.tf1 * (1.2 + 1.0)) / (f.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / c.avgdl)))
+         + c.idf2 * (f.tf2 * (1.2 + 1.0)) / (f.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / c.avgdl)))
+         + c.idf3 * (f.tf3 * (1.2 + 1.0)) / (f.tf3 + 1.2 * (1.0 - 0.75 + 0.75 * (f.dl / c.avgdl))), 9)
+         AS score
+  FROM tf f CROSS JOIN consts c
+)
+SELECT doc_id, score, dl, n_matched,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+FROM scored
+WHERE n_matched > 0
+QUALIFY bm25_rank <= 20
+"""

@@ -106,6 +106,7 @@ def test_driver_window_ordering():
         "q38_customers_no_orders": ["q65_remove_contaminated"],
         "q42_rolling_fingerprint": ["q15_doc_fingerprint"],
         "q46_top_terms": ["q10_event_type_stats", "q08_top_orders"],
+        "q52_embed_pairs": ["q55_ann_lsh", "q23_ann_topk"],
         "q61_ann_ivf_fullprobe": ["q23_ann_topk"],
         "q62_user_sessions_salted": ["q25_user_sessions"],
         "q64_decontaminate_distributed": ["q63_decontaminate_hashed"],
@@ -128,7 +129,6 @@ def test_driver_window_ordering():
     # oracled twin; queries with a UNIQUE operator must sit inside the window.
     for must_have in (
         "q51_jaccard_pairs",
-        "q52_embed_pairs",
         "q53_minhash_pairs",
         "q54_decontaminate",
         "q55_ann_lsh",
@@ -146,6 +146,7 @@ def test_driver_window_ordering():
         "q43_extract_spans",
         "q44_structured_parse",
         "q73_bloom_decontaminate",
+        "q74_bm25_search",
         "q50_approx_distinct_users",
         "q68_embed_ann",
         "q69_upload_validation",
