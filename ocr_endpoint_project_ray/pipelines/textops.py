@@ -2288,3 +2288,79 @@ FROM scored
 WHERE n_matched > 0
 QUALIFY bm25_rank <= 20
 """
+
+
+def q75_posting_lists(sf_dir: str) -> ray.data.Dataset:
+    """Positional inverted-index rows for the fixed q74 query vocabulary:
+    one row per (term, matching document) carrying the occurrence count
+    and the first token position — the ROWS representation of a posting
+    list. Scale-honest by construction: a common term's postings are
+    corpus-sized, so they exist only as a streamed dataset keyed by term
+    (repartition by term co-locates a posting list when a consumer needs
+    one contiguous; never as one array value on any single node). Phrase /
+    proximity ranking consumes (first_pos, n_occurrences) directly; q74
+    consumes the same statistics aggregated. Map-only — zero shuffle.
+
+    Reference analogue: none — training-data extension (the index-build
+    counterpart of q74's ranking)."""
+    import re
+
+    from ..functions.text import TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tokre = re.compile(TOKEN_RE)
+        col_of = {t: j for j, t in enumerate(terms)}
+        ids = batch.column("doc_id").to_pylist()
+        out_term: list[str] = []
+        out_doc: list[int] = []
+        out_n: list[int] = []
+        out_first: list[int] = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            counts = [0] * len(terms)
+            first = [-1] * len(terms)
+            for pos, w in enumerate(tokre.findall(t or "")):
+                j = col_of.get(w)
+                if j is not None:
+                    counts[j] += 1
+                    if first[j] < 0:
+                        first[j] = pos
+            for j, term in enumerate(terms):
+                if counts[j]:
+                    out_term.append(term)
+                    out_doc.append(i)
+                    out_n.append(counts[j])
+                    out_first.append(first[j])
+        return pa.table(
+            {
+                "term": pa.array(out_term, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_occurrences": pa.array(out_n, pa.int64()),
+                "first_pos": pa.array(out_first, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        _rows, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+#: SQL twin of q75 — list_position is 1-based (engine first_pos is the
+#: 0-based token offset, hence the -1); the VALUES vocabulary is the same
+#: fixed query-term tuple q74 scores.
+Q75_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '{_SQL_TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+t(term) AS (VALUES ('hash'), ('join'), ('window'), ('spark'))
+SELECT t.term, k.doc_id,
+       len(list_filter(k.ts, x -> x = t.term)) AS n_occurrences,
+       CAST(list_position(k.ts, t.term) - 1 AS BIGINT) AS first_pos
+FROM tok k CROSS JOIN t
+WHERE list_contains(k.ts, t.term)
+"""

@@ -106,6 +106,7 @@ def test_driver_window_ordering():
         "q38_customers_no_orders": ["q65_remove_contaminated"],
         "q42_rolling_fingerprint": ["q15_doc_fingerprint"],
         "q46_top_terms": ["q10_event_type_stats", "q08_top_orders"],
+        "q49_frame_sample": ["q71_media_features"],
         "q52_embed_pairs": ["q55_ann_lsh", "q23_ann_topk"],
         "q61_ann_ivf_fullprobe": ["q23_ann_topk"],
         "q62_user_sessions_salted": ["q25_user_sessions"],
@@ -147,6 +148,7 @@ def test_driver_window_ordering():
         "q44_structured_parse",
         "q73_bloom_decontaminate",
         "q74_bm25_search",
+        "q75_posting_lists",
         "q50_approx_distinct_users",
         "q68_embed_ann",
         "q69_upload_validation",
