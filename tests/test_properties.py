@@ -366,3 +366,68 @@ def test_decontaminate_hashed_matches_naive(data, n_docs, n_phrases):
         ).take_all()
     }
     assert dist == expected
+
+
+# --- Bloom filter invariants (functions/sketch.py::BloomFilter) ----------
+
+_BLOOM_GEOM = st.tuples(
+    st.sampled_from([256, 1024, 4096]), st.integers(min_value=1, max_value=5)
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(alphabet=_CORPUS_ALPHABET, max_size=40), max_size=60),
+    _BLOOM_GEOM,
+    st.sampled_from(["blake2b", "md5"]),
+)
+def test_bloom_never_false_negative_and_split_merge(values, geom, hasher):
+    import numpy as np
+
+    from ocr_endpoint_project_ray.functions.sketch import BloomFilter
+
+    m, k = geom
+    whole = BloomFilter(m=m, k=k, hasher=hasher).add_many(values)
+    if values:
+        assert whole.contains_many(values).all()
+    # arbitrary split + serialize roundtrip merges to the bulk filter
+    cut = len(values) // 2
+    a = BloomFilter(m=m, k=k, hasher=hasher).add_many(values[:cut])
+    b = BloomFilter(m=m, k=k, hasher=hasher).add_many(values[cut:])
+    merged = a.merge(BloomFilter.deserialize(b.serialize(), m, k, hasher))
+    assert np.array_equal(merged.bits, whole.bits)
+
+
+# --- BM25 per-batch statistics vs a naive tokenizer ----------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet=_CORPUS_ALPHABET, max_size=60)),
+        max_size=20,
+    ),
+    st.lists(
+        st.text(alphabet="abchjs ", min_size=1, max_size=6).filter(str.split),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_bm25_tf_dl_matches_naive(texts, raw_terms):
+    import re
+
+    from ocr_endpoint_project_ray.functions.text import TOKEN_RE
+    from ocr_endpoint_project_ray.stages.search import _tf_dl
+
+    # dedupe first tokens (duplicate terms are a caller error by contract);
+    # whitespace-only strings contribute no term
+    terms = tuple(dict.fromkeys(w for t in raw_terms for w in t.split()[:1]))
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    tf, dl = _tf_dl(batch, terms, "text")
+    tok = re.compile(TOKEN_RE)
+    for row, t in enumerate(texts):
+        ws = tok.findall(t or "")
+        assert dl[row] == len(ws)
+        for j, term in enumerate(terms):
+            assert tf[row, j] == ws.count(term)
