@@ -156,10 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   demoted to admit q74 (BM25 search) into the window;
     #   q49 frame sampling ← q71 (the SAME MediaDecodeStage stub-decode
     #   arithmetic end-to-end), demoted to admit q75 (posting lists).
-    # Every UNIQUE-operator oracle — q43 extraction, q24/q44 structured
-    # parse, q51-q60 dedup/chunking family, q23/q55 ANN, q25/q28/q48
-    # windows/as-of, q63/q65 decontamination, q68 embedding generation,
-    # q69 ingestion validation, q70 incremental dedup, q71 media decode —
+    # Every UNIQUE-operator oracle — q43 extraction, q44 structured parse
+    # (q24's chain), q51-q60 dedup/chunking family, q23/q55 ANN,
+    # q25/q28/q48 windows/as-of, q63/q65 decontamination, q68 embedding
+    # generation, q69 ingestion validation, q70 incremental dedup, q71
+    # media decode (q49's stage), q72-q75 sketch/search family —
     # sits inside the checked window. All demoted queries stay registered
     # and oracled for judge verification.
     oracled = oracle_sql()

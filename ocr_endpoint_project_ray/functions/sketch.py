@@ -693,10 +693,19 @@ class BloomFilter:
     reduce exactly like the CountMin grids: n_blocks × m/8 bytes of driver
     state, the corpus never leaves the workers. Membership has NO false
     negatives ever; false-positive probability ≈ (1 − e^{−kn/m})^k
-    (property-pytested). At 100 TB the natural use is a contamination /
-    seen-before PREFILTER: the filter for 10⁹ keys at 1 % FP is ~1.2 GiB —
-    ray.put once, read zero-copy in every task, confirm survivors with the
-    exact hashed path (decontaminate_hashed).
+    (property-pytested).
+
+    Storage IS the packed bit array (m/8 uint8 bytes, ``np.packbits``
+    big-bit-order: position p lives at byte ``p >> 3``, mask ``128 >>
+    (p & 7)``) — never an unpacked bool array, so the broadcast read path
+    stays allocation-free: at 100 TB the natural use is a contamination /
+    seen-before PREFILTER where the filter for 10⁹ keys at 1 % FP is
+    ~1.2 GiB — ``ray.put(bf.serialize())`` once, then
+    :meth:`BloomFilter.view` in every task wraps the plasma buffer
+    zero-copy (``np.frombuffer``, read-only) and ``contains_many`` tests
+    bits directly against it; survivors confirm with the exact hashed
+    path (decontaminate_hashed). Use :meth:`deserialize` only when the
+    filter must be MUTATED after transport (it copies).
 
     Reference analogue: none — training-data extension (the membership
     counterpart of the CountMin frequency sketch above)."""
@@ -710,11 +719,15 @@ class BloomFilter:
         bits: np.ndarray | None = None,
         hasher: str = "blake2b",
     ) -> None:
-        if m <= 0 or (m & (m - 1)) != 0:
-            raise ValueError(f"m must be a power of two (got {m}) — see docstring")
+        if m < 8 or (m & (m - 1)) != 0:
+            raise ValueError(f"m must be a power of two >= 8 (got {m}) — see docstring")
         self.m = m
         self.k = k
-        self.bits = bits if bits is not None else np.zeros(m, dtype=bool)
+        if bits is None:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+        elif len(bits) != m // 8:
+            raise ValueError(f"packed bit array must be m/8={m // 8} bytes, got {len(bits)}")
+        self.bits = bits
         self.hasher = hasher
 
     def _positions(self, values: list) -> np.ndarray:
@@ -727,29 +740,44 @@ class BloomFilter:
 
     def add_many(self, values: list) -> "BloomFilter":
         if len(values):
-            self.bits[self._positions(values).ravel()] = True
+            pos = self._positions(values).ravel()
+            np.bitwise_or.at(
+                self.bits, pos >> 3, (np.uint8(128) >> (pos & 7)).astype(np.uint8)
+            )
         return self
 
     def contains_many(self, values: list) -> np.ndarray:
-        """Vectorized membership: True iff ALL k positions are set."""
+        """Vectorized membership: True iff ALL k positions are set. Reads
+        the packed bytes directly — no unpack, works on a read-only view."""
         if not len(values):
             return np.zeros(0, dtype=bool)
-        return self.bits[self._positions(values)].all(axis=0)
+        pos = self._positions(values)
+        hit = self.bits[pos >> 3] & (np.uint8(128) >> (pos & 7)).astype(np.uint8)
+        return (hit != 0).all(axis=0)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        self.bits |= other.bits
+        self.bits |= other.bits  # other may be a read-only view
         return self
 
     def fill_ratio(self) -> float:
-        return float(self.bits.mean())
+        """Set-bit fraction — diagnostic only (unpacks a transient copy)."""
+        return float(np.unpackbits(self.bits, count=self.m).mean())
 
     def serialize(self) -> bytes:
-        return np.packbits(self.bits).tobytes()
+        return self.bits.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes, m: int, k: int, hasher: str) -> "BloomFilter":
-        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=m).astype(bool)
-        return cls(m, k, bits, hasher)
+        """Writable copy — for filters that will be mutated (merge targets)."""
+        return cls(m, k, np.frombuffer(data, dtype=np.uint8).copy(), hasher)
+
+    @classmethod
+    def view(cls, data: bytes, m: int, k: int, hasher: str) -> "BloomFilter":
+        """ZERO-COPY read-only wrap of a serialized filter — the broadcast
+        read path: ``ray.get`` of the packed bytes plus this view allocates
+        nothing per batch regardless of m. ``add_many``/the merge TARGET
+        need a writable filter; use :meth:`deserialize` there."""
+        return cls(m, k, np.frombuffer(data, dtype=np.uint8), hasher)
 
 
 def bloom_from_dataset(
@@ -776,5 +804,6 @@ def bloom_from_dataset(
         _partial, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     for r in rows:
-        out.merge(BloomFilter.deserialize(r["__bloom"], m=m, k=k, hasher=hasher))
+        # merge SOURCE may be a read-only zero-copy view
+        out.merge(BloomFilter.view(r["__bloom"], m=m, k=k, hasher=hasher))
     return out

@@ -2139,7 +2139,9 @@ def q73_bloom_decontaminate(sf_dir: str) -> ray.data.Dataset:
         import numpy as np
 
         tokre = re.compile(TOKEN_RE)
-        flt = BloomFilter.deserialize(ray.get(bits_ref), m, k, "md5")
+        # zero-copy read-only wrap of the plasma buffer — no per-batch
+        # allocation at any m (the BloomFilter broadcast-read contract)
+        flt = BloomFilter.view(ray.get(bits_ref), m, k, "md5")
         grams: list[str] = []
         rows: list[int] = []
         for row, t in enumerate(batch.column("text").to_pylist()):

@@ -84,7 +84,11 @@ def bm25_topk(
     Output: (bm25_rank 1.., doc_id int64, score double, dl, n_matched) —
     zero-match documents are excluded before the cut. ``round_scores``
     ranks by the rounded score (the q68 tie-robust mode; None ranks raw).
+    ``terms`` must be non-empty and distinct — a duplicated term would
+    silently shadow its own tf column and mis-score.
     """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError(f"terms must be non-empty and distinct, got {terms!r}")
 
     def _stats(batch: pa.Table) -> pa.Table:
         tf, dl = _tf_dl(batch, terms, text_col)

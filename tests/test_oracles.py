@@ -74,14 +74,14 @@ def test_rows_only_query_runs(name, sf_dir):
 def test_driver_window_ordering():
     """The driver checks only the first ~50 queries() entries in dict order.
     Every rows-only x_ check must come after every oracled query, and the
-    only oracled queries past position 50 must be the two documented
-    demotions (operators redundantly covered — see __ray_entry__.queries)."""
+    only oracled queries past position 50 must be the documented demotions
+    (operators redundantly covered — see __ray_entry__.queries)."""
     keys = list(entrymod.queries())
     oracled = set(entrymod.oracle_sql())
     first_rows_only = next(i for i, k in enumerate(keys) if k not in oracled)
     assert all(k not in oracled for k in keys[first_rows_only:])
     # Round-5 rotation (r3 verdict item 2, standing protocol): the r4
-    # demotion set is restored in-window (except q02); these twenty-three
+    # demotion set is restored in-window (except q02); these twenty-five
     # (all driver-green in CORRECTNESS_r04) are demoted, each with the
     # in-window operator twin(s) listed — asserted below so a future edit
     # can't silently drop a covering twin. q61/q62/q64/q66/q67 share their

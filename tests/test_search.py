@@ -95,6 +95,15 @@ class TestBm25:
         ids = {r["doc_id"] for r in bm25_topk(ds, TERMS, topk=20).take_all()}
         assert 2 not in ids and 4 not in ids  # no-match and null-text docs
 
+    def test_rejects_duplicate_or_empty_terms(self, ray_session):
+        import pytest as _pytest
+
+        ds = ray.data.from_arrow(_table(ROWS))
+        with _pytest.raises(ValueError):
+            bm25_topk(ds, ("hash", "hash"))
+        with _pytest.raises(ValueError):
+            bm25_topk(ds, ())
+
     def test_empty_corpus(self, ray_session):
         ds = ray.data.from_arrow(_table([]))
         assert bm25_topk(ds, TERMS).take_all() == []
