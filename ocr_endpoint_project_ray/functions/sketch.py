@@ -740,6 +740,11 @@ class BloomFilter:
 
     def add_many(self, values: list) -> "BloomFilter":
         if len(values):
+            # np.bitwise_or.at silently IGNORES the writeable flag and would
+            # scribble on a view()'d buffer (a shared plasma object) — guard
+            # explicitly; regular ufuncs (merge's |=) respect the flag.
+            if not self.bits.flags.writeable:
+                raise ValueError("read-only Bloom view — use deserialize() to mutate")
             pos = self._positions(values).ravel()
             np.bitwise_or.at(
                 self.bits, pos >> 3, (np.uint8(128) >> (pos & 7)).astype(np.uint8)

@@ -444,3 +444,20 @@ class TestBloom:
         dist = bloom_from_dataset(ds, "s", m=1 << 12, k=3)
         local = BloomFilter(m=1 << 12, k=3).add_many([v for v in vals if v is not None])
         assert np.array_equal(dist.bits, local.bits)
+
+    def test_view_is_zero_copy_and_immutable(self):
+        import pytest as _pytest
+
+        from ocr_endpoint_project_ray.functions.sketch import BloomFilter
+
+        bf = BloomFilter(m=1 << 10, k=2, hasher="md5").add_many(["a b", "c d"])
+        v = BloomFilter.view(bf.serialize(), 1 << 10, 2, "md5")
+        assert v.contains_many(["a b", "c d"]).all()
+        assert not v.bits.flags.writeable  # np.frombuffer view, no copy
+        # np.bitwise_or.at ignores the writeable flag (it would scribble on
+        # a shared plasma buffer) — add_many must refuse explicitly
+        with _pytest.raises(ValueError):
+            v.add_many(["x"])
+        # merge TARGET must also refuse (plain |= respects the flag)
+        with _pytest.raises(ValueError):
+            v.merge(bf)
