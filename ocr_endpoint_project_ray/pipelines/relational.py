@@ -981,3 +981,78 @@ RELATIONAL_QUERIES = {
     "q66_rolling_window_salted": q66_rolling_window_salted,
     "q67_purchase_last_view_salted": q67_purchase_last_view_salted,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions, registered in __ray_entry__ AFTER the q75 block (the
+# q73-q75 pattern): regex field extraction and the running-window family.
+# ---------------------------------------------------------------------------
+
+
+def q77_field_extract(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized regex field extraction over a semi-structured string
+    column — the PII-scan / log-field-extraction primitive: pull the first
+    digit run out of ``events.props`` as a typed value plus the total
+    digit-run count per row. Both sides run RE2 (`pyarrow.compute`
+    extract_regex / count_substring_regex ↔ DuckDB regexp_extract /
+    regexp_extract_all), so match semantics are engine-identical; nulls
+    propagate (null props → null count, no-match → null value) exactly
+    like the SQL twin. Map-only over a two-column read — zero shuffle at
+    any scale, no per-row Python.
+
+    Reference analogue: none — training-data extension (the scan face of
+    M8's robust JSON parsing: a scanner wants the field WITHOUT paying a
+    full parse)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def _extract(b: pa.Table) -> pa.Table:
+        props = b.column("props")
+        ext = pc.extract_regex(props, pattern="(?P<k>[0-9]+)")
+        k_value = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        n = pc.cast(pc.count_substring_regex(props, pattern="[0-9]+"), pa.int64())
+        return pa.table(
+            {"event_id": b.column("event_id"), "k_value": k_value, "n_digit_runs": n}
+        )
+
+    return ds.map_batches(
+        _extract, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+#: SQL twin of q77 — NULLIF maps DuckDB's empty-string no-match sentinel to
+#: the engine's null; both regex engines are RE2, so the leftmost-longest
+#: digit runs are identical.
+Q77_ORACLE = """
+SELECT event_id,
+       CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT) AS k_value,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit_runs
+FROM events
+"""
+
+
+def q78_cumulative_window(sf_dir: str) -> ray.data.Dataset:
+    """Running per-user total + inter-event gap (custom operator — Ray Data
+    has no window functions): SQL ``SUM(value) OVER (PARTITION BY user
+    ORDER BY ts ROWS UNBOUNDED PRECEDING)`` and ``lag(ts)`` in one keyed
+    pass. Completes the window family: q48 is the RANGE sliding frame,
+    q25 the gap session, q28 the as-of lookup — this is the prefix frame
+    and LAG. Same scale shape as q48: one hash shuffle on user_id, then a
+    per-block sort + per-user ``np.cumsum`` (sequential, matching the SQL
+    window's left-to-right accumulation; see _cumulative_block)."""
+    from ..stages.windows import cumulative_window
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return cumulative_window(ds)
+
+
+#: SQL twin of q78 — epoch_us keeps the LAG delta exact int64; the running
+#: sum is rounded at the value quantum on both sides (house float protocol).
+Q78_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS cum_value,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS ts_delta_us
+FROM events
+"""

@@ -2366,3 +2366,47 @@ SELECT t.term, k.doc_id,
 FROM tok k CROSS JOIN t
 WHERE list_contains(k.ts, t.term)
 """
+
+
+def q76_train_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test split assignment (~80/10/10) by content
+    md5 — the reproducible split primitive for training corpora: the same
+    document lands in the same split on any cluster, any run, any shard
+    order, and re-ingesting a grown corpus never reassigns an old doc
+    (unlike random or row-number-modulo splits). The first hex byte of
+    md5(text) buckets into [0, 255]: < 0xcc (204) → train, < 0xe6 (230) →
+    val, else test. The compare runs on the fixed-width lowercase hex
+    prefix, where lexicographic order IS numeric order, so the SQL twin is
+    a plain string CASE. Map-only over a column-pruned read — zero shuffle
+    at any scale.
+
+    Reference analogue: none — training-data extension (the split-assign
+    face of q29's content-hash sampling family)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        b2 = pc.utf8_slice_codeunits(md5_hex_batch(b.column("text")), 0, 2)
+        split = pc.if_else(
+            pc.less(b2, pa.scalar("cc")),
+            pa.scalar("train"),
+            pc.if_else(pc.less(b2, pa.scalar("e6")), pa.scalar("val"), pa.scalar("test")),
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "lang": b.column("lang"), "split": split}
+        )
+
+    return ds.map_batches(
+        _assign, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+#: SQL twin of q76 — COALESCE mirrors the engine's null→"" hashing; the
+#: boundary literals are the hex spellings of 204 (0.8·256) and 230
+#: (0.9·256), compared as strings exactly like the engine.
+Q76_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(COALESCE(text, '')), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(COALESCE(text, '')), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

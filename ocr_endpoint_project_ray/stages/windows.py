@@ -420,3 +420,71 @@ def rolling_window_salted(
         batch_format="pyarrow",
         fn_kwargs={"window_us": window_us},
     )
+
+
+# ---------------------------------------------------------------------------
+# Running (ROWS UNBOUNDED PRECEDING) aggregate + LAG
+# ---------------------------------------------------------------------------
+
+
+def _cumulative_block(batch: pa.Table) -> pa.Table:
+    """Per-block kernel: rows co-located per user (keyed repartition).
+    Running value sum restarts per user and accumulates strictly left to
+    right in (ts, event_id) order — ``np.cumsum`` per user segment, NOT a
+    global cumsum minus a segment offset, which would change the float
+    association versus the SQL window's sequential accumulation. The LAG
+    delta is exact int64 microseconds (null on each user's first event)."""
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table({})
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+        )
+    )
+    users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    m = len(users)
+    is_first = np.concatenate(([True], users[1:] != users[:-1]))
+    starts = np.nonzero(is_first)[0]
+    ends = np.concatenate((starts[1:], [m]))
+    cum = np.empty(m, dtype=np.float64)
+    for s, e in zip(starts, ends):
+        cum[s:e] = np.cumsum(vals[s:e])
+    prev_ts = np.empty(m, dtype=np.int64)
+    prev_ts[0] = 0
+    prev_ts[1:] = ts[:-1]
+    delta = ts - prev_ts
+    return pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "cum_value": py_round_array(pa.array(cum, pa.float64()), 2),
+            "ts_delta_us": pa.array(delta, pa.int64(), mask=is_first),
+        }
+    )
+
+
+def cumulative_window(
+    events: ray.data.Dataset,
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key running aggregate + LAG (SQL ``SUM ... OVER (PARTITION BY
+    user ORDER BY ts ROWS UNBOUNDED PRECEDING)`` and ``lag(ts)``): the
+    cumulative value total and the inter-event gap for every event. Needs
+    columns (user_id, event_id, ts, value). One keyed shuffle co-locates a
+    user's events; the kernel is one sort + one cumsum per block. Sum
+    rounded at the value quantum (2dp, Python round — house float
+    protocol) so accumulation-tree differences versus the SQL window
+    engine can't flip an exact value hash."""
+    ensure_hash_shuffle()
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
+    co = events.repartition(num_blocks=n, keys=["user_id"])
+    return co.map_batches(
+        _cumulative_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
