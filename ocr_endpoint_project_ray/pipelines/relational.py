@@ -1056,3 +1056,104 @@ SELECT user_id, event_id,
            AS ts_delta_us
 FROM events
 """
+
+
+def q80_rollup_revenue(sf_dir: str) -> pa.Table:
+    """Multi-level aggregate — SQL ``GROUP BY ROLLUP(status, priority)``:
+    per-(status, priority) totals, per-status subtotals, and the grand
+    total in one result, subtotal levels keyed by NULL exactly like the
+    SQL. Scale shape: the ONLY data-scale pass is the distributed
+    per-block partial combine inside ``grouped_agg`` at the finest level
+    (|status|×|priority| ≤ 15 groups — bounded, small_groups path, no
+    aggregator-actor pool); the coarser levels are O(groups) driver
+    arithmetic over UNROUNDED finest sums, so at 100 TB the rollup costs
+    exactly one streamed aggregation, not one shuffle per grouping set.
+    Sums round at the money quantum (2dp, Python round) only at emit —
+    float64 accumulation noise over quantized prices is orders of
+    magnitude below half a quantum, so the driver's re-association versus
+    the SQL engine's per-grouping-set scans can't flip the value hash.
+
+    Reference analogue: none — training-data extension (the multi-level
+    reporting face of the q01/q05 grouped-aggregate family)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    finest = grouped_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            Agg("sum_price", "o_totalprice", "sum"),
+            Agg("n_orders", "o_totalprice", "count_rows"),
+        ],
+        small_groups=True,
+    )
+    rows = finest.take_all()  # ≤ ~15 rows: statuses × priorities
+    out: list[dict] = []
+    by_status: dict[str, tuple[float, int]] = {}
+    total, n_total = 0.0, 0
+    for r in rows:
+        out.append(
+            {
+                "o_orderstatus": r["o_orderstatus"],
+                "o_orderpriority": r["o_orderpriority"],
+                "sum_price": round(float(r["sum_price"]), 2),
+                "n_orders": int(r["n_orders"]),
+            }
+        )
+        s, n = by_status.get(r["o_orderstatus"], (0.0, 0))
+        by_status[r["o_orderstatus"]] = (s + float(r["sum_price"]), n + int(r["n_orders"]))
+    for status, (s, n) in by_status.items():
+        out.append(
+            {
+                "o_orderstatus": status,
+                "o_orderpriority": None,
+                "sum_price": round(s, 2),
+                "n_orders": n,
+            }
+        )
+        total += s
+        n_total += n
+    out.append(
+        {
+            "o_orderstatus": None,
+            "o_orderpriority": None,
+            "sum_price": round(total, 2),
+            "n_orders": n_total,
+        }
+    )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [
+                ("o_orderstatus", pa.string()),
+                ("o_orderpriority", pa.string()),
+                ("sum_price", pa.float64()),
+                ("n_orders", pa.int64()),
+            ]
+        ),
+    )
+
+
+#: SQL twin of q80 — DuckDB evaluates each grouping set over the raw rows;
+#: both sides round the float sums at the money quantum, so the rollup
+#: association difference is invisible to the value hash.
+Q80_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q81_cumulative_window_salted(sf_dir: str) -> ray.data.Dataset:
+    """Skew-safe twin of q78 (the q62/q66/q67 pattern — registered against
+    Q78's oracle VERBATIM, so the driver certifies the salted engine path
+    against the identical SQL): the distributed exclusive-prefix-sum
+    running window, never co-locating one user's events. See
+    ``stages/windows.py::cumulative_window_salted`` for the two-pass
+    shape and its driver-bounded summary assumption."""
+    from ..stages.windows import cumulative_window_salted
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return cumulative_window_salted(ds)

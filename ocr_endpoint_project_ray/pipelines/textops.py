@@ -2410,3 +2410,83 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def q79_collapse_repeats(sf_dir: str) -> ray.data.Dataset:
+    """Adjacent-duplicate token collapse ("stutter" de-repetition) — the
+    cleaning face of q58's repetition SIGNAL: where q58 measures top-2-gram
+    mass, q79 rewrites the document, collapsing each run of identical
+    consecutive whitespace-split tokens to one occurrence (the classic OCR
+    double-read / boilerplate-echo scrub). Fully vectorized despite the
+    sequential look: one ``split_pattern`` per batch, one shifted
+    ``pc.equal`` over the flat token stream of ALL docs at once, doc
+    starts forced kept via the list offsets, and the survivors re-join
+    with ``binary_join`` over cumsum-rebuilt offsets — no per-token or
+    per-doc Python. Map-only, zero shuffle at any scale. Emits the
+    repetition census (n_tokens, n_kept) plus the cleaned text.
+
+    Reference analogue: none — training-data extension (the rewrite member
+    of the quality family: q17 scores, q33 filters, q79 cleans)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _collapse(b: pa.Table) -> pa.Table:
+        text = pc.coalesce(b.column("text"), pa.scalar(""))
+        toks = pc.split_pattern(text, pattern=" ").combine_chunks()
+        vals = toks.values
+        off = toks.offsets.to_numpy()
+        n = len(vals)
+        keep_np = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = pc.equal(vals.slice(1), vals.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            keep_np[1:] = ~eq
+        keep_np[off[:-1]] = True  # a run never crosses a doc boundary
+        # cum[off] rebuilds per-doc offsets exactly, including empty docs
+        cum = np.concatenate(([0], np.cumsum(keep_np)))
+        new_off = cum[off]
+        kept_vals = vals.filter(pa.array(keep_np))
+        if pa.types.is_large_list(toks.type):
+            kept_lists = pa.LargeListArray.from_arrays(
+                pa.array(new_off, pa.int64()), kept_vals
+            )
+        else:
+            kept_lists = pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()), kept_vals
+            )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(np.diff(off), pa.int64()),
+                "n_kept": pa.array(np.diff(new_off), pa.int64()),
+                "clean_text": pc.binary_join(kept_lists, " "),
+            }
+        )
+
+    return ds.map_batches(
+        _collapse, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+#: SQL twin of q79 — DuckDB's indexed list lambda is the shifted-equal keep
+#: mask (i = 1 keeps each doc's first token, a run never crosses a doc);
+#: array_to_string rebuilds the cleaned text in token order. An empty/null
+#: doc splits to [''], whose single token always survives — matching the
+#: engine's one-empty-token census, so clean_text is never NULL.
+Q79_ORACLE = """
+WITH l AS (
+    SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS lst
+    FROM documents
+), f AS (
+    SELECT doc_id, lst,
+           list_filter(lst, (x, i) -> i = 1 OR x != lst[i-1]) AS kept
+    FROM l
+)
+SELECT doc_id,
+       CAST(len(lst) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS clean_text
+FROM f
+"""

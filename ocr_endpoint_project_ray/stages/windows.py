@@ -488,3 +488,151 @@ def cumulative_window(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _bucket_totals_block(batch: pa.Table) -> pa.Table:
+    """Pass-1 partial for the salted cumulative window: per-(user, bucket)
+    RAW value sum + last event ts. Data volume out = user×bucket summaries
+    per block, not events."""
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "last_ts": pa.array([], pa.int64()),
+            }
+        )
+    t = batch.append_column("__ts_us", pc.cast(batch.column("ts"), pa.int64()))
+    gb = t.group_by(["user_id", "bucket"], use_threads=False).aggregate(
+        [("value", "sum"), ("__ts_us", "max")]
+    )
+    rename = {"value_sum": "sum_value", "__ts_us_max": "last_ts"}
+    return gb.rename_columns([rename.get(c, c) for c in gb.column_names])
+
+
+def _cumulative_salted_block(batch: pa.Table, offsets_ref) -> pa.Table:
+    """Pass-2 kernel: rows co-located per (user, bucket). Local sequential
+    cumsum per segment + the broadcast exclusive bucket offset; the LAG
+    delta uses the broadcast previous-bucket last_ts for each segment's
+    first row (null when the bucket is the user's first)."""
+    if batch.num_rows == 0 or "user_id" not in batch.column_names:
+        return pa.table({})
+    import ray
+
+    off_map, prev_map = ray.get(offsets_ref)
+    batch = batch.take(
+        pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("bucket", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+    )
+    users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+    buckets = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    m = len(users)
+    new_seg = np.concatenate(
+        ([True], (users[1:] != users[:-1]) | (buckets[1:] != buckets[:-1]))
+    )
+    starts = np.nonzero(new_seg)[0]
+    ends = np.concatenate((starts[1:], [m]))
+    cum = np.empty(m, dtype=np.float64)
+    prev_ts = np.empty(m, dtype=np.int64)
+    prev_ts[0] = 0
+    prev_ts[1:] = ts[:-1]
+    is_null = np.zeros(m, dtype=bool)
+    for s, e in zip(starts, ends):
+        key = (int(users[s]), int(buckets[s]))
+        cum[s:e] = np.cumsum(vals[s:e]) + off_map.get(key, 0.0)
+        pt = prev_map.get(key)
+        if pt is None:
+            is_null[s] = True
+        else:
+            prev_ts[s] = pt
+    delta = ts - prev_ts
+    return pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "cum_value": py_round_array(pa.array(cum, pa.float64()), 2),
+            "ts_delta_us": pa.array(delta, pa.int64(), mask=is_null),
+        }
+    )
+
+
+def cumulative_window_salted(
+    events: ray.data.Dataset,
+    *,
+    span_us: int = 24 * 3_600_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-safe running aggregate + LAG: same output as
+    :func:`cumulative_window` without ever co-locating one user's events.
+    A prefix sum can't use the context-copy trick (the lookback is
+    unbounded), so this is the distributed exclusive-prefix-sum shape
+    already proven by ``pack_sequences``: pass 1 streams per-(user,
+    time-bucket) totals + last-ts (map-side group partials; volume =
+    summaries, not events), the driver combines them into exclusive
+    per-bucket offsets and previous-bucket boundary timestamps and
+    broadcasts ONCE (``ray.put``), pass 2 re-streams the events
+    partitioned on ``(user_id, bucket)`` — a mega-user spreads over
+    ~time-range/span blocks — and each segment adds its broadcast offset
+    to a local cumsum. Driver state is O(users × buckets) summaries
+    (driver-bounded, the same cardinality assumption as
+    ``grouped_quantiles_exact``); both passes re-execute the upstream
+    read (the documented two-pass cost — forking the lazy DAG would
+    materialize the corpus instead). The bucket offset re-associates the
+    float sum versus the unsalted sequential cumsum; the 2dp rounding
+    protocol absorbs it (parity pytest with a 50 %-skew user)."""
+    ensure_hash_shuffle()
+    n = num_partitions or min(default_num_partitions(per_cpu=1), 16)
+    bucketed = events.map_batches(
+        _add_time_bucket(span_us), batch_size=None, batch_format="pyarrow"
+    )
+    partial_rows = bucketed.map_batches(
+        _bucket_totals_block, batch_size=None, batch_format="pyarrow"
+    ).take_all()
+    off_map: dict[tuple[int, int], float] = {}
+    prev_map: dict[tuple[int, int], int] = {}
+    if partial_rows:
+        ptbl = pa.Table.from_pylist(partial_rows)
+        gb = ptbl.group_by(["user_id", "bucket"], use_threads=False).aggregate(
+            [("sum_value", "sum"), ("last_ts", "max")]
+        )
+        rename = {"sum_value_sum": "sum_value", "last_ts_max": "last_ts"}
+        gb = gb.rename_columns([rename.get(c, c) for c in gb.column_names])
+        gb = gb.take(
+            pc.sort_indices(
+                gb, sort_keys=[("user_id", "ascending"), ("bucket", "ascending")]
+            )
+        )
+        run_user, run_sum, run_last = None, 0.0, None
+        for u, b, s, lt in zip(
+            gb.column("user_id").to_pylist(),
+            gb.column("bucket").to_pylist(),
+            gb.column("sum_value").to_pylist(),
+            gb.column("last_ts").to_pylist(),
+        ):
+            if u != run_user:
+                run_user, run_sum, run_last = u, 0.0, None
+            off_map[(u, b)] = run_sum
+            if run_last is not None:
+                prev_map[(u, b)] = run_last
+            run_sum += float(s)
+            run_last = lt
+    import ray
+
+    ref = ray.put((off_map, prev_map))
+    co = bucketed.repartition(num_blocks=n, keys=["user_id", "bucket"])
+    return co.map_batches(
+        _cumulative_salted_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        fn_kwargs={"offsets_ref": ref},
+    )

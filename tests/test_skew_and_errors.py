@@ -209,3 +209,28 @@ def test_asof_salted_parity():
     assert plain == salted
     # sanity: the skew corpus actually exercises cross-bucket lookback
     assert any(v[2] is None for v in plain) and any(v[2] is not None for v in plain)
+
+
+def test_cumulative_window_salted_parity():
+    from ocr_endpoint_project_ray.stages.windows import (
+        cumulative_window,
+        cumulative_window_salted,
+    )
+
+    tbl = _skewed_events(seed=17)
+    cols = ["user_id", "event_id", "cum_value", "ts_delta_us"]
+    plain = _rows_set(
+        cumulative_window(ray.data.from_arrow(tbl).repartition(8), num_partitions=4),
+        cols,
+    )
+    # span 6h → many users span several salt buckets, exercising both the
+    # exclusive offset and the cross-bucket LAG boundary
+    salted = _rows_set(
+        cumulative_window_salted(
+            ray.data.from_arrow(tbl).repartition(8),
+            span_us=6 * 3_600_000_000,
+            num_partitions=4,
+        ),
+        cols,
+    )
+    assert plain == salted
