@@ -2427,46 +2427,52 @@ def q79_collapse_repeats(sf_dir: str) -> ray.data.Dataset:
 
     Reference analogue: none — training-data extension (the rewrite member
     of the quality family: q17 scores, q33 filters, q79 cleans)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        _collapse_repeats_batch,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _collapse_repeats_batch(b: pa.Table) -> pa.Table:
+    """q79's per-batch kernel (module-level so the property test can drive
+    it with arbitrary corpora): one shifted equal over the flat token
+    stream, doc starts forced kept, offsets rebuilt by cumsum."""
     import numpy as np
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _collapse(b: pa.Table) -> pa.Table:
-        text = pc.coalesce(b.column("text"), pa.scalar(""))
-        toks = pc.split_pattern(text, pattern=" ").combine_chunks()
-        vals = toks.values
-        off = toks.offsets.to_numpy()
-        n = len(vals)
-        keep_np = np.ones(n, dtype=bool)
-        if n > 1:
-            eq = pc.equal(vals.slice(1), vals.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            keep_np[1:] = ~eq
-        keep_np[off[:-1]] = True  # a run never crosses a doc boundary
-        # cum[off] rebuilds per-doc offsets exactly, including empty docs
-        cum = np.concatenate(([0], np.cumsum(keep_np)))
-        new_off = cum[off]
-        kept_vals = vals.filter(pa.array(keep_np))
-        if pa.types.is_large_list(toks.type):
-            kept_lists = pa.LargeListArray.from_arrays(
-                pa.array(new_off, pa.int64()), kept_vals
-            )
-        else:
-            kept_lists = pa.ListArray.from_arrays(
-                pa.array(new_off, pa.int32()), kept_vals
-            )
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_tokens": pa.array(np.diff(off), pa.int64()),
-                "n_kept": pa.array(np.diff(new_off), pa.int64()),
-                "clean_text": pc.binary_join(kept_lists, " "),
-            }
+    text = pc.coalesce(b.column("text"), pa.scalar(""))
+    toks = pc.split_pattern(text, pattern=" ").combine_chunks()
+    vals = toks.values
+    off = toks.offsets.to_numpy()
+    n = len(vals)
+    keep_np = np.ones(n, dtype=bool)
+    if n > 1:
+        eq = pc.equal(vals.slice(1), vals.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
         )
-
-    return ds.map_batches(
-        _collapse, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        keep_np[1:] = ~eq
+    keep_np[off[:-1]] = True  # a run never crosses a doc boundary
+    # cum[off] rebuilds per-doc offsets exactly, including empty docs
+    cum = np.concatenate(([0], np.cumsum(keep_np)))
+    new_off = cum[off]
+    kept_vals = vals.filter(pa.array(keep_np))
+    if pa.types.is_large_list(toks.type):
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()), kept_vals
+        )
+    else:
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), kept_vals
+        )
+    return pa.table(
+        {
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(np.diff(off), pa.int64()),
+            "n_kept": pa.array(np.diff(new_off), pa.int64()),
+            "clean_text": pc.binary_join(kept_lists, " "),
+        }
     )
 
 

@@ -431,3 +431,82 @@ def test_bm25_tf_dl_matches_naive(texts, raw_terms):
         assert dl[row] == len(ws)
         for j, term in enumerate(terms):
             assert tf[row, j] == ws.count(term)
+
+
+_WORDS = st.sampled_from(["a", "bb", "bb ", "", "ccc", "a a"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.lists(_WORDS, max_size=12), min_size=1, max_size=6))
+def test_collapse_repeats_matches_naive(docs):
+    """q79's flat-stream kernel vs the obvious per-doc Python loop — the
+    word pool deliberately includes '' and embedded-space tokens so the
+    split produces empty tokens and adjacent runs across them."""
+    from ocr_endpoint_project_ray.pipelines.textops import _collapse_repeats_batch
+
+    texts = [" ".join(words) for words in docs]
+    out = _collapse_repeats_batch(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).to_pylist()
+    for row, text in zip(out, texts):
+        toks = text.split(" ")
+        kept = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_kept"] == len(kept)
+        assert row["clean_text"] == " ".join(kept)
+
+
+@_ray_settings
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),  # user
+            st.integers(0, 10**9),  # ts (us)
+            st.decimals(
+                min_value=-100, max_value=100, places=2, allow_nan=False
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cumulative_window_matches_pandas(rows):
+    """q78's keyed cumsum + LAG vs a sequential pandas reference: pandas
+    cumsum accumulates left-to-right exactly like the kernel's per-user
+    np.cumsum, so cum_value matches bit-exactly after the shared 2dp
+    round."""
+    from ocr_endpoint_project_ray.stages.windows import cumulative_window
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "value"])
+    df["value"] = df["value"].astype(float)
+    df["event_id"] = range(len(df))
+    tbl = pa.table(
+        {
+            "user_id": pa.array(df.user_id, pa.int64()),
+            "event_id": pa.array(df.event_id, pa.int64()),
+            "ts": pa.array(df.ts_us, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(df.value, pa.float64()),
+        }
+    )
+    got = (
+        pa.Table.from_pylist(
+            cumulative_window(
+                ray.data.from_arrow(tbl).repartition(4), num_partitions=2
+            ).take_all()
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    ref = df.sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+    ref["cum_value"] = ref.groupby("user_id")["value"].cumsum().map(lambda v: round(v, 2))
+    ref["ts_delta_us"] = ref["ts_us"] - ref.groupby("user_id")["ts_us"].shift(1)
+    ref = ref.sort_values(["user_id", "event_id"], ignore_index=True)
+    assert got["cum_value"].tolist() == ref["cum_value"].tolist()
+    got_delta = [None if pd.isna(v) else int(v) for v in got["ts_delta_us"]]
+    ref_delta = [None if pd.isna(v) else int(v) for v in ref["ts_delta_us"]]
+    assert got_delta == ref_delta
