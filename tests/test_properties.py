@@ -467,8 +467,11 @@ def test_collapse_repeats_matches_naive(docs):
         st.tuples(
             st.integers(1, 4),  # user
             st.integers(0, 10**9),  # ts (us)
-            st.decimals(
-                min_value=-100, max_value=100, places=2, allow_nan=False
+            st.one_of(
+                st.none(),
+                st.decimals(
+                    min_value=-100, max_value=100, places=2, allow_nan=False
+                ),
             ),
         ),
         min_size=1,
@@ -479,7 +482,9 @@ def test_cumulative_window_matches_pandas(rows):
     """q78's keyed cumsum + LAG vs a sequential pandas reference: pandas
     cumsum accumulates left-to-right exactly like the kernel's per-user
     np.cumsum, so cum_value matches bit-exactly after the shared 2dp
-    round."""
+    round. Null values follow the SQL frame rule (skip-but-carry: a null
+    row shows the running sum; leading nulls show NULL) — pandas cumsum
+    leaves NaN at the null row, so the reference forward-fills it."""
     from ocr_endpoint_project_ray.stages.windows import cumulative_window
 
     df = pd.DataFrame(rows, columns=["user_id", "ts_us", "value"])
@@ -503,10 +508,16 @@ def test_cumulative_window_matches_pandas(rows):
         .sort_values(["user_id", "event_id"], ignore_index=True)
     )
     ref = df.sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
-    ref["cum_value"] = ref.groupby("user_id")["value"].cumsum().map(lambda v: round(v, 2))
+    ref["cum_value"] = (
+        ref.groupby("user_id")["value"]
+        .transform(lambda v: v.cumsum().ffill())
+        .map(lambda v: v if pd.isna(v) else round(v, 2))
+    )
     ref["ts_delta_us"] = ref["ts_us"] - ref.groupby("user_id")["ts_us"].shift(1)
     ref = ref.sort_values(["user_id", "event_id"], ignore_index=True)
-    assert got["cum_value"].tolist() == ref["cum_value"].tolist()
+    got_cum = [None if pd.isna(v) else v for v in got["cum_value"]]
+    ref_cum = [None if pd.isna(v) else v for v in ref["cum_value"]]
+    assert got_cum == ref_cum
     got_delta = [None if pd.isna(v) else int(v) for v in got["ts_delta_us"]]
     ref_delta = [None if pd.isna(v) else int(v) for v in ref["ts_delta_us"]]
     assert got_delta == ref_delta

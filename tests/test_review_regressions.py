@@ -510,3 +510,66 @@ def test_q40_describe_nan_values_propagate(tmp_path):
 
     none_row = rows[None]
     assert none_row["n"] == 1 and none_row["min"] == 5.0 and none_row["max"] == 5.0
+
+
+def test_q77_q78_q81_null_and_overflow_edges(tmp_path):
+    """r5 review findings: (a) a digit run that overflows int64 must yield a
+    NULL k_value (TRY_CAST semantics — errors are data), never raise; the
+    19-digit boundary and leading zeros resolve numerically on both
+    engines; (b) a NULL value must not NaN-poison the running sum — SQL
+    SUM OVER skips nulls but the frame stays NULL only until the user's
+    first non-null value, including across q81's salt buckets."""
+    import __ray_entry__ as entrymod
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(12), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4], pa.int64()),
+            "ts": pa.array(
+                [10, 20, 30, 40, 100, 200, 300, 5, 15, 25, 7, 9], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "value": pa.array(
+                [None, 1.25, None, 2.50, None, None, 3.75, 4.00, None, 5.25, None, None],
+                pa.float64(),
+            ),
+            "props": pa.array(
+                [
+                    "id=99999999999999999999 x=3",  # 20 digits → overflow NULL
+                    "id=9223372036854775807",  # int64 max → fits
+                    "id=9223372036854775808",  # max+1 → NULL
+                    "id=00000000000000000000009 y=1",  # leading zeros ⇒ 9
+                    None,
+                    "no digits here",
+                    "a1b22c333",
+                    "0",
+                    "id=0000",
+                    "18446744073709551615",  # uint64 max → NULL
+                    "1234567890123456789",  # 19 digits < max → fits
+                    "9999999999999999999",  # 19 digits > max → NULL
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    qs, orc = entrymod.queries(), entrymod.oracle_sql()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    for name in (
+        "q77_field_extract",
+        "q78_cumulative_window",
+        "q81_cumulative_window_salted",
+    ):
+        got = canon(
+            pa.Table.from_pylist(qs[name](str(tmp_path)).take_all()).to_pandas()
+        )
+        exp = canon(con.sql(orc[name]).df())
+        assert len(got) == len(exp), name
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=0)
